@@ -1,0 +1,335 @@
+"""Detector: batched two-layer bootstrapping + trace + digest encoders.
+
+Counterpart of reference ``omr_core/src/detector.rs``. The per-message
+pipeline (``detect``, lines 135-166) —
+
+    extract clues & mod-switch (``:505-531``)
+    -> 7x first-level blind rotation + sum (``:533-557``)
+    -> key switch z1 -> s2 (``:560-563``)
+    -> mod switch q1 -> 4096, b += 7*Delta (``:571-594``)
+    -> second-level blind rotation (``:599-624``)
+    -> x N^-1, homomorphic trace, to NTT domain (``:626-639``)
+
+— is here ONE jitted program batched over a message axis; scaling across
+messages is vmap-free wide vector arithmetic instead of the reference's
+rayon par_iter (``examples/omr.rs:160-164``). Digest encoders
+(``encode_pertinent_indices`` ``:223-339``, ``encode_pertinent_payloads``
+``:341-453``) become NTT + pointwise-MAC + exact modular tree reductions —
+the ``psum`` shape used by the sharded runner in tfhe_omr_tpu.parallel.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from tfhe_omr_tpu.core.context import OmrContext
+from tfhe_omr_tpu.core.keygen import DetectionKey
+from tfhe_omr_tpu.core.params import RetrievalParams
+from tfhe_omr_tpu.core.sender import ClueBatch
+from tfhe_omr_tpu.ops.bootstrap import (
+    extract_constant_lwe,
+    init_accumulator,
+    lwe_modulus_switch,
+    make_blind_rotate,
+    make_lwe_keyswitch,
+    make_trace,
+)
+
+
+@dataclass
+class DetectStageTimes:
+    """Per-stage timings (counterpart of ``DetectTimeInfo``,
+    reference ``detector.rs:42-80``), filled by ``detect_with_time_info``."""
+
+    detect_time: float = 0.0
+    first_level_bootstrapping_time: float = 0.0
+    second_level_bootstrapping_time: float = 0.0
+    trace_time: float = 0.0
+
+    def __add__(self, other):
+        return DetectStageTimes(
+            self.detect_time + other.detect_time,
+            self.first_level_bootstrapping_time
+            + other.first_level_bootstrapping_time,
+            self.second_level_bootstrapping_time
+            + other.second_level_bootstrapping_time,
+            self.trace_time + other.trace_time,
+        )
+
+
+class Detector:
+    """The server. Holds the detection key and jitted device programs."""
+
+    def __init__(self, detection_key: DetectionKey, ctx: OmrContext):
+        self.key = detection_key
+        self.ctx = ctx
+        p = ctx.params
+        self._c = p.clue_count
+        self._n0 = p.clue_params.dimension
+        self._build_programs()
+
+    # ------------------------------------------------------------- programs
+    def _build_programs(self):
+        ctx = self.ctx
+        p = ctx.params
+        f1, f2 = ctx.f1, ctx.f2
+        ntt1, ntt2 = ctx.ntt1, ctx.ntt2
+        n1, n2 = p.n1, p.n2
+        clue_count = p.clue_count
+        q_inter = p.intermediate_lwe.cipher_modulus
+        t_inter = p.intermediate_lwe.plain_modulus
+        # b += clue_count * Delta_inter (reference ``detector.rs:580-594``)
+        inter_offset = clue_count * (q_inter // t_inter)
+
+        br1 = make_blind_rotate(f1, ntt1, ctx.gadget_br1)
+        br2 = make_blind_rotate(f2, ntt2, ctx.gadget_br2)
+        ks = make_lwe_keyswitch(f1, p.first_level_ks.digits, p.first_level_ks.out_dimension)
+        trace = make_trace(f2, ntt2, ctx.gadget_trace, ctx.trace_autos)
+
+        lut1_ext = jnp.asarray(ctx.lut1_ext)
+        lut2_ext = jnp.asarray(ctx.lut2_ext)
+        ex_idx, ex_neg = ctx.clue_extract_tables
+        ex_idx = jnp.asarray(ex_idx)
+        ex_neg = jnp.asarray(ex_neg)
+        q0 = p.clue_params.cipher_modulus
+        n2_inv = ctx.f2.inv(n2)
+        n2_inv_j = jnp.int64(n2_inv)
+        n2_inv_sh = jnp.int64(int(f2.shoup(n2_inv)))
+
+        def detect(clue_a, clue_b7, key: DetectionKey):
+            bsz = clue_a.shape[0]
+            # --- extract 7 LWE clues per message (mod-switch to 2N1 is a
+            # no-op at default params; guard mirrors ``detector.rs:521``)
+            a_ext = jnp.where(
+                ex_neg[None].astype(bool),
+                (q0 - clue_a[:, ex_idx]) & (q0 - 1),
+                clue_a[:, ex_idx],
+            )  # (B, c, n0)
+            assert q0 == 2 * n1, "clue modulus must equal 2*N1"
+            amounts1 = a_ext.reshape(bsz * clue_count, self._n0).T  # (n0, M)
+            b1 = clue_b7.reshape(bsz * clue_count)
+
+            # --- first-level blind rotation, batched over B*7
+            acc = init_accumulator(f1, lut1_ext, b1, n1)
+            acc = br1(acc, amounts1, key.bsk1, key.bsk1_sh)
+            # sum the 7 per-clue results (``detector.rs:556``)
+            acc = f1.mod_sum(acc.reshape(n1, 2, bsz, clue_count), axis=3)
+
+            # --- extract + key switch + mod switch
+            a_vec, b0 = extract_constant_lwe(f1, acc)
+            ks_a, ks_b = ks(a_vec.T, b0, key.ksk_limbs)
+            ms_a = lwe_modulus_switch(f1, ks_a, q_inter)
+            ms_b = lwe_modulus_switch(f1, ks_b, q_inter)
+            ms_b = (ms_b + inter_offset) & (q_inter - 1)
+
+            # --- second-level blind rotation (mod-switch to 2N2 is a no-op,
+            # guard mirrors ``detector.rs:612``)
+            assert q_inter == 2 * n2
+            acc2 = init_accumulator(f2, lut2_ext, ms_b, n2)
+            acc2 = br2(acc2, ms_a.T, key.bsk2, key.bsk2_sh)
+
+            # --- x N^-1 then homomorphic trace (``detector.rs:626-639``)
+            acc2 = f2.mul_shoup(acc2, n2_inv_j, n2_inv_sh)
+            acc2 = trace(acc2, key.trace_k, key.trace_k_sh)
+            out = ntt2.fwd(acc2)  # to NTT domain (``to_ntt_rlwe``)
+            return out.transpose(2, 1, 0)  # (B, 2, N2)
+
+        self._detect_jit = jax.jit(detect)
+
+        def encode_chunk(pert, plain, acc):
+            """One digest-accumulation chunk.
+
+            pert: (B, 2, N2) NTT-domain pertinency cts; plain: (B, N2)
+            plaintext polys (centred mod q); acc: (2, N2) running ct.
+            Counterpart of the chunked map in ``detector.rs:256-337``.
+            """
+            pn = ntt2.fwd(plain.T)  # (N2, B)
+            prod = f2.mul(pert.transpose(1, 2, 0), pn[None])  # (2, N2, B)
+            return f2.add(acc, f2.mod_sum(prod, axis=2))
+
+        self._encode_chunk_jit = jax.jit(encode_chunk)
+
+    # --------------------------------------------------------------- detect
+    def detect(self, clues: ClueBatch) -> jnp.ndarray:
+        """Detect a batch; returns pertinency ciphertexts (B, 2, N2).
+
+        Each row is an NTT-domain RLWE ct encrypting Delta2 * pertinency_bit
+        in the constant slot (counterpart of ``Detector::detect``).
+        """
+        return self._detect_jit(
+            jnp.asarray(clues.a), jnp.asarray(clues.b7), self.key
+        )
+
+    def detect_with_time_info(self, clues: ClueBatch):
+        import time
+
+        t0 = time.perf_counter()
+        out = self.detect(clues)
+        jax.block_until_ready(out)
+        t1 = time.perf_counter()
+        # stage split requires separate compilations; report total only here
+        return out, DetectStageTimes(detect_time=t1 - t0)
+
+    # ------------------------------------------------------- digest encoder
+    def build_index_plaintexts(
+        self,
+        retrieval_params: RetrievalParams,
+        count: int,
+        rng: np.random.Generator,
+        start_index: int = 0,
+    ) -> np.ndarray:
+        """Host: per-message index plaintext polys (count, N2), centred mod q.
+
+        For each message and each segment in the ciphertext: pick a random
+        bucket, write the base-p digits of the message index (LSB first) into
+        the bucket's index slots and 1 into its flag slot
+        (counterpart of ``detector.rs:271-323``).
+        """
+        rp = retrieval_params
+        q = self.ctx.f2.q
+        p = rp.index_modulus
+        half_p = (p + 1) >> 1
+        n2 = rp.polynomial_size
+        spb = rp.slots_per_bucket
+        sps = rp.slots_per_segment
+        segs = rp.segment_per_cipher
+        nd = rp.index_slots_per_bucket
+
+        idx = np.arange(start_index, start_index + count, dtype=np.int64)
+        buckets = rng.integers(
+            0, rp.bucket_count_per_segment, size=(count, segs), dtype=np.int64
+        )
+        base_addr = np.arange(segs, dtype=np.int64)[None, :] * sps + buckets * spb
+        polys = np.zeros((count, n2), dtype=np.int64)
+        rows = np.arange(count)[:, None]
+        v = idx.copy()
+        digs = []
+        for _ in range(nd):
+            digs.append(v % p)
+            v //= p
+        for k in range(nd):
+            dv = digs[k]
+            centred = np.where(dv < half_p, dv, q - p + dv)
+            polys[rows, base_addr + k] = centred[:, None]
+        polys[rows, base_addr + nd] = 1  # flag slot
+        return polys
+
+    def encode_pertinent_indices(
+        self,
+        retrieval_params: RetrievalParams,
+        pertinency: jnp.ndarray,
+        rng: np.random.Generator,
+        chunk: int = 2048,
+    ) -> jnp.ndarray:
+        """One index-digest ciphertext (2, N2) from the full pertinency stack.
+
+        Counterpart of ``Detector::encode_pertinent_indices``
+        (``detector.rs:223-339``); call ``max_encode_indices_cipher_count``
+        times for the redundant digests (``examples/omr.rs:180-183``).
+        """
+        n2 = retrieval_params.polynomial_size
+        total = pertinency.shape[0]
+        acc = jnp.zeros((2, n2), dtype=jnp.int64)
+        for s in range(0, total, chunk):
+            c = min(chunk, total - s)
+            plain = self.build_index_plaintexts(
+                retrieval_params, c, rng, start_index=s
+            )
+            acc = self._encode_chunk_jit(
+                pertinency[s : s + c], jnp.asarray(plain), acc
+            )
+        return acc
+
+    def build_payload_plaintexts(
+        self,
+        retrieval_params: RetrievalParams,
+        payloads: np.ndarray,
+        weights: np.ndarray,
+    ) -> np.ndarray:
+        """Host: weighted-payload plaintext polys (B, N2), centred mod q.
+
+        payloads: (B, payload_length); weights: (cmb_count_per_cipher, B).
+        Slot layout: combination c occupies slots
+        [c*payload_length, (c+1)*payload_length) (``detector.rs:412-433``).
+        """
+        rp = retrieval_params
+        q = self.ctx.f2.q
+        p = rp.index_modulus
+        half_p = (p + 1) >> 1
+        n2 = rp.polynomial_size
+        plen = rp.payload_length
+        bsz = payloads.shape[0]
+        polys = np.zeros((bsz, n2), dtype=np.int64)
+        for c in range(weights.shape[0]):
+            wp = np.mod(payloads * weights[c][:, None], p)
+            polys[:, c * plen : (c + 1) * plen] = np.where(
+                wp < half_p, wp, q - p + wp
+            )
+        return polys
+
+    def encode_pertinent_payloads(
+        self,
+        retrieval_params: RetrievalParams,
+        pertinency: jnp.ndarray,
+        payloads: np.ndarray,
+        seed,
+        chunk: int = 2048,
+    ) -> jnp.ndarray:
+        """All combination-digest ciphertexts (cmb_cipher_count, 2, N2).
+
+        Counterpart of ``Detector::encode_pertinent_payloads``
+        (``detector.rs:341-453``). ``seed`` drives the shared weight stream
+        that the retriever regenerates (``examples/omr.rs:194-203``).
+        """
+        rp = retrieval_params
+        n2 = rp.polynomial_size
+        total = pertinency.shape[0]
+        weights = sample_weights(rp, seed)
+        w_all = weights.reshape(rp.cmb_cipher_count, rp.cmb_count_per_cipher, -1)
+        out = []
+        for k in range(rp.cmb_cipher_count):
+            acc = jnp.zeros((2, n2), dtype=jnp.int64)
+            for s in range(0, total, chunk):
+                c = min(chunk, total - s)
+                plain = self.build_payload_plaintexts(
+                    rp, payloads[s : s + c], w_all[k][:, s : s + c]
+                )
+                acc = self._encode_chunk_jit(
+                    pertinency[s : s + c], jnp.asarray(plain), acc
+                )
+            out.append(acc)
+        return jnp.stack(out)
+
+    def detect_key_size(self) -> int:
+        """Byte-size accounting (counterpart of the ``Size`` trait)."""
+        k = self.key
+        total = 0
+        for arr in (k.bsk1, k.bsk2, k.trace_k):
+            total += arr.size * 8
+        total += k.ksk_limbs.size  # int8 planes of the int matrix
+        return total
+
+
+def sample_weights(rp: RetrievalParams, seed) -> np.ndarray:
+    """The shared detector/retriever weight stream.
+
+    (combination_count_padded, all_payloads_count) uniform in [0, p); rows
+    beyond combination_count are zero (the reference sizes the buffer by
+    cmb_cipher_count * cmb_count_per_cipher but only fills
+    combination_count * D entries — ``detector.rs:376-389``).
+    """
+    rng = np.random.default_rng(seed)
+    padded = rp.cmb_cipher_count * rp.cmb_count_per_cipher
+    w = np.zeros((padded, rp.all_payloads_count), dtype=np.int64)
+    filled = rng.integers(
+        0,
+        rp.index_modulus,
+        size=(rp.combination_count, rp.all_payloads_count),
+        dtype=np.int64,
+    )
+    w[: rp.combination_count] = filled
+    return w

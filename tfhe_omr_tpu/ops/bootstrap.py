@@ -1,0 +1,186 @@
+"""Bootstrapping primitives: batched blind rotation, key switch, trace.
+
+TPU-native counterparts of primus-fhe's ``BlindRotationKey::blind_rotate``
+(used at reference ``omr_core/src/detector.rs:553-557,623``),
+``NonPowOf2LweKeySwitchingKey::key_switch`` (``detector.rs:560-563``) and
+``TraceKey::trace`` (``detector.rs:626-639``).
+
+Key architectural inversions vs the reference (SURVEY.md §7):
+
+* Everything is batched over a trailing message axis B; the CMUX loop is a
+  ``lax.fori_loop`` whose body operates on ``(N, ..., B)`` tensors so TPU
+  vector lanes carry the batch.
+* The per-message monomial rotation ``X^a * ACC`` is applied **in the NTT
+  domain after the gadget MAC**, as a pointwise product with
+  ``NTT(X^a - 1)`` looked up from a 2N-entry table (exact because gadget
+  recomposition is linear; the decomposition error lands in the noise term
+  either way). This removes all data-dependent gathers of ciphertext data
+  from the hot loop.
+* LWE key switching is a pair of int8 limb matmuls on the MXU (digits are
+  binary; the key is pre-split into 7-bit planes with int32 accumulation).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from tfhe_omr_tpu.ops.decompose import SignedGadget
+from tfhe_omr_tpu.ops.modmath import PrimeField
+from tfhe_omr_tpu.ops.ntt import NegacyclicNtt
+
+
+def make_blind_rotate(field: PrimeField, ntt: NegacyclicNtt, gadget: SignedGadget):
+    """Returns blind_rotate(acc, amounts, bsk, bsk_sh).
+
+    acc:     (N, 2, B) int64 coefficient domain, the accumulator (a, b).
+    amounts: (n_lwe, B) int64 rotation amounts in [0, 2N) (the LWE a-vector).
+    bsk:     (n_lwe, N, d, 2, 2) int64 NTT-domain RGSW keys (+ Shoup planes).
+
+    Computes ACC <- ACC + (X^{a_i} - 1) * (ACC (x) RGSW(s_i)) for each i,
+    i.e. the CMUX chain of TFHE blind rotation for binary LWE secrets.
+    """
+    mono_tab, mono_tab_sh = ntt.monomial_minus_one_tables()
+    orders = jnp.asarray(ntt.orders)
+    two_n = 2 * ntt.n
+
+    def step(i, acc, amounts, bsk, bsk_sh):
+        a_i = jax.lax.dynamic_index_in_dim(amounts, i, axis=0, keepdims=False)
+        k_i = jax.lax.dynamic_index_in_dim(bsk, i, axis=0, keepdims=False)
+        k_sh_i = jax.lax.dynamic_index_in_dim(bsk_sh, i, axis=0, keepdims=False)
+
+        # gadget-decompose both acc polys: (N, d, 2, B)
+        digs = gadget.decompose_to_field(acc, axis=1)
+        dn = ntt.fwd(digs)
+        # MAC against RGSW rows: P[n, o, b] = sum_{j,c} dn[n,j,c,b]*K[n,j,c,o]
+        prod = field.mul_shoup(
+            dn[:, :, :, None, :], k_i[..., None], k_sh_i[..., None]
+        )
+        p = field.reduce(
+            prod.sum(axis=(1, 2)), field.bits + (2 * gadget.d).bit_length() + 1
+        )  # (N, 2, B)
+        # multiply by NTT(X^{a_i} - 1) via the 2N-entry twiddle table
+        e = (orders[:, None] * a_i[None, :]) % two_n  # (N, B)
+        p = field.mul_shoup(p, mono_tab[e][:, None, :], mono_tab_sh[e][:, None, :])
+        return field.add(acc, ntt.inv(p))
+
+    def blind_rotate(acc, amounts, bsk, bsk_sh):
+        n_lwe = amounts.shape[0]
+        return jax.lax.fori_loop(
+            0,
+            n_lwe,
+            lambda i, a: step(i, a, amounts, bsk, bsk_sh),
+            acc,
+        )
+
+    return blind_rotate
+
+
+def init_accumulator(field: PrimeField, ext_lut: jnp.ndarray, b: jnp.ndarray, n: int):
+    """ACC init = X^{-b} * LUT: coefficient k is ext_lut[(k + b) mod 2N].
+
+    ext_lut: (2N,) = [lut, -lut]. b: (B,) int64. Returns (N, 2, B) with the
+    a-part zero.
+    """
+    ks = jnp.arange(n, dtype=jnp.int64)[:, None]
+    idx = (ks + b[None, :]) % (2 * n)
+    acc_b = ext_lut[idx]  # (N, B)
+    return jnp.stack([jnp.zeros_like(acc_b), acc_b], axis=1)
+
+
+def extract_constant_lwe(field: PrimeField, acc):
+    """Sample-extract the constant coefficient as an LWE ciphertext.
+
+    acc: (N, 2, B). Returns (a_vec (N, B), b (B,)): a_vec[0] = A[0],
+    a_vec[j] = -A[N-j] so the LWE secret is the ring key's coefficient vector
+    in natural order (counterpart of ``extract_lwe_locally``,
+    reference ``detector.rs:560-561``).
+    """
+    n = acc.shape[0]
+    idx = (-jnp.arange(n)) % n
+    a_perm = acc[:, 0, :][idx]
+    sign_neg = jnp.arange(n)[:, None] > 0
+    a_vec = jnp.where(sign_neg, field.neg(a_perm), a_perm)
+    return a_vec, acc[0, 1, :]
+
+
+def make_lwe_keyswitch(field: PrimeField, digits: int, n_out: int):
+    """Returns keyswitch(a_vec (B, n_in), b (B,)) -> (a (B,n_out), b (B,)).
+
+    Binary-digit LWE key switch as int8 limb matmuls (MXU path); the combined
+    key matrix has the b-row as its last column. Counterpart of
+    ``NonPowOf2LweKeySwitchingKey::key_switch`` (``detector.rs:560-563``).
+    """
+    limbs = -(-field.bits // 7)
+    shifts = jnp.arange(digits, dtype=jnp.int64)
+
+    def keyswitch(a_vec, b, ksk_limbs):
+        bsz, n_in = a_vec.shape
+        bits = ((a_vec[:, :, None] >> shifts) & 1).astype(jnp.int8)
+        bits = bits.reshape(bsz, n_in * digits)
+        acc = jnp.zeros((bsz, n_out + 1), dtype=jnp.int64)
+        for k in range(limbs):
+            part = jax.lax.dot_general(
+                bits,
+                ksk_limbs[k],
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            ).astype(jnp.int64)
+            acc = acc + (part << (7 * k))
+        bound = (n_in * digits * 127).bit_length() + 7 * (limbs - 1) + 2
+        acc = field.reduce(acc, bound)
+        out_a = field.neg(acc[:, :n_out])
+        out_b = field.sub(b, acc[:, n_out])
+        return out_a, out_b
+
+    return keyswitch
+
+
+def lwe_modulus_switch(field: PrimeField, x, new_modulus: int):
+    """Round-scale an LWE ciphertext component from q to a power-of-2 modulus.
+
+    y = round(x * q' / q) mod q' (counterpart of ``lwe_modulus_switch``,
+    reference ``detector.rs:571-575``).
+    """
+    q = field.q
+    qp = jnp.int64(new_modulus)
+    y = (x * (2 * qp) + jnp.int64(q)) // jnp.int64(2 * q)
+    return y & (new_modulus - 1)
+
+
+def make_trace(
+    field: PrimeField,
+    ntt: NegacyclicNtt,
+    gadget: SignedGadget,
+    autos,
+):
+    """Returns trace(acc (N,2,B), trace_k, trace_k_sh) -> (N,2,B).
+
+    EvalTr: log2(N) rounds of c <- c + KS(sigma_g(c)); the caller must
+    pre-multiply by N^{-1} (reference ``detector.rs:634-638``). ``autos`` is
+    OmrContext.trace_autos; rounds are statically unrolled so the gather
+    permutations are compile-time constants.
+    """
+
+    def trace(acc, trace_k, trace_k_sh):
+        for r, (g, gidx, gsign) in enumerate(autos):
+            gi = jnp.asarray(gidx)
+            gs = jnp.asarray(gsign)[:, None, None]
+            auto = field.to_field(gs * acc[gi])  # (N, 2, B)
+            digs = gadget.decompose_to_field(auto[:, 0, :], axis=1)  # (N,d,B)
+            dn = ntt.fwd(digs)
+            tk = trace_k[r]  # (N, d, 2)
+            tk_sh = trace_k_sh[r]
+            prod = field.mul_shoup(
+                dn[:, :, None, :], tk[..., None], tk_sh[..., None]
+            )
+            p = field.reduce(
+                prod.sum(axis=1), field.bits + gadget.d.bit_length() + 1
+            )  # (N, 2, B)
+            pc = ntt.inv(p)
+            new_a = field.neg(pc[:, 0, :])
+            new_b = field.sub(auto[:, 1, :], pc[:, 1, :])
+            acc = field.add(acc, jnp.stack([new_a, new_b], axis=1))
+        return acc
+
+    return trace
