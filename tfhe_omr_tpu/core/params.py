@@ -42,14 +42,18 @@ def _is_prime(n: int) -> bool:
 
 @lru_cache(maxsize=None)
 def find_ntt_prime(bits: int, two_n: int) -> int:
-    """Largest Solinas-like prime q = 2**bits - eps with two_n | q-1."""
-    top = 1 << bits
-    eps_limit = 1 << (bits // 2)
-    for eps in range(1, eps_limit):
-        q = top - eps
-        if (q - 1) % two_n == 0 and _is_prime(q):
-            return q
-    raise ValueError(f"no NTT prime of {bits} bits for 2N={two_n}")
+    """A Solinas-like prime q = 2**b - eps with two_n | q-1, b >= bits.
+
+    Searches upward from the requested width if no such prime exists at it.
+    """
+    for b in range(bits, bits + 4):
+        top = 1 << b
+        eps_limit = 1 << (b // 2)
+        for eps in range(1, eps_limit):
+            q = top - eps
+            if (q - 1) % two_n == 0 and _is_prime(q):
+                return q
+    raise ValueError(f"no NTT prime near {bits} bits for 2N={two_n}")
 
 
 @dataclass(frozen=True)
@@ -161,11 +165,13 @@ class OmrParameters:
             clue_count=7,
             first_level_br=GadgetRlweParams(256, q1, "ternary", s, 4, 4),
             first_level_ks=KeySwitchParams(
-                256, 96, 24, 1, 0.0 if noise_free else 32.0
+                256, 96, q1.bit_length(), 1, 0.0 if noise_free else 32.0
             ),
             intermediate_lwe=LweParams(96, 32, 1024, "binary", s),
             second_level_br=GadgetRlweParams(512, q2, "ternary", s, 5, 4),
-            trace=GadgetRlweParams(512, q2, "ternary", s, 2, 15),
+            trace=GadgetRlweParams(
+                512, q2, "ternary", s, 2, -(-q2.bit_length() // 2)
+            ),
             output_plain_modulus=257,
             payload_length=100,
             bucket_count_per_segment=16,
