@@ -1,0 +1,77 @@
+"""Benchmark: batched detect throughput on one chip at reference parameters.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
+
+Baseline: the reference's single-core detect throughput, 4.27 msg/s
+(234.073 ms/msg at D=65536, reference README.md:120-121; BASELINE.md).
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    batch = int(os.environ.get("OMR_BENCH_BATCH", "128"))
+    reps = int(os.environ.get("OMR_BENCH_REPS", "3"))
+
+    import jax
+
+    from tfhe_omr_tpu.core.keygen import SecretKeyPack
+    from tfhe_omr_tpu.core.params import OmrParameters
+
+    t0 = time.perf_counter()
+    params = OmrParameters.default()
+    skp = SecretKeyPack(params, rng=0)
+    detector = skp.generate_detector()
+    sender = skp.generate_sender()
+    rng = np.random.default_rng(1)
+    clues = sender.gen_clues(batch, rng)
+    keygen_s = time.perf_counter() - t0
+
+    # compile + warm up
+    t0 = time.perf_counter()
+    out = detector.detect(clues)
+    jax.block_until_ready(out)
+    compile_s = time.perf_counter() - t0
+
+    times = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        out = detector.detect(clues)
+        jax.block_until_ready(out)
+        times.append(time.perf_counter() - t0)
+    best = min(times)
+    msgs_per_sec = batch / best
+
+    baseline_msgs_per_sec = 4.27  # reference single-core (BASELINE.md)
+    result = {
+        "metric": "detect_throughput_per_chip",
+        "value": round(msgs_per_sec, 3),
+        "unit": "msg/s",
+        "vs_baseline": round(msgs_per_sec / baseline_msgs_per_sec, 3),
+    }
+    print(json.dumps(result))
+    print(
+        json.dumps(
+            {
+                "detail": {
+                    "batch": batch,
+                    "best_batch_seconds": round(best, 3),
+                    "ms_per_message": round(1000.0 * best / batch, 3),
+                    "keygen_seconds": round(keygen_s, 1),
+                    "compile_seconds": round(compile_s, 1),
+                    "device": str(jax.devices()[0]),
+                }
+            }
+        ),
+        file=sys.stderr,
+    )
+
+
+if __name__ == "__main__":
+    main()

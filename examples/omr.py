@@ -1,0 +1,171 @@
+"""End-to-end OMR run: keygen -> clues -> detect -> digest -> decode -> verify.
+
+Counterpart of reference ``omr_core/examples/omr.rs`` (CLI with
+``--payload-count``; the reference's ``--thread-count`` becomes the number of
+JAX devices, which is discovered rather than configured). Verifies every
+decoded payload byte-wise (``omr.rs:222-232``).
+
+Usage:
+    python examples/omr.py [-p PAYLOAD_COUNT] [--tiny] [--batch B] [--cpu]
+"""
+
+import argparse
+import logging
+import sys
+import time
+
+import numpy as np
+
+log = logging.getLogger("omr")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("-p", "--payload-count", type=int, default=None)
+    ap.add_argument("--batch", type=int, default=128,
+                    help="device batch size for detection")
+    ap.add_argument("--tiny", action="store_true", help="tiny parameter set")
+    ap.add_argument("--cpu", action="store_true", help="force CPU backend")
+    ap.add_argument("--sharded", action="store_true",
+                    help="shard over all available devices")
+    ap.add_argument("--csv", type=str, default=None,
+                    help="write a timing record CSV")
+    args = ap.parse_args()
+
+    logging.basicConfig(
+        level=logging.INFO, format="%(asctime)s %(levelname)s %(message)s"
+    )
+
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+
+    from tfhe_omr_tpu.core.keygen import SecretKeyPack
+    from tfhe_omr_tpu.core.params import OmrParameters
+    from tfhe_omr_tpu.core.payload import random_payloads
+    from tfhe_omr_tpu.core.sender import ClueBatch
+    from tfhe_omr_tpu.utils.timing import TimingRecord, write_csv
+
+    params = OmrParameters.tiny() if args.tiny else OmrParameters.default()
+    n_dev = len(jax.devices())
+    all_count = args.payload_count or n_dev * 8
+    pertinent_count = min(all_count, 50 if not args.tiny else 8)
+    log.info("devices: %d, payloads: %d, pertinent: %d",
+             n_dev, all_count, pertinent_count)
+
+    rec = TimingRecord(device_count=n_dev, payload_count=all_count)
+    total0 = time.perf_counter()
+
+    log.info("generating secret key packs...")
+    skp = SecretKeyPack(params, rng=np.random.default_rng())
+    skp2 = SecretKeyPack(params, rng=np.random.default_rng())
+    sender = skp.generate_sender()
+    sender2 = skp2.generate_sender()
+    detector = skp.generate_detector()
+    log.info("detection key size: %.1f MB", detector.detect_key_size() / 1e6)
+
+    rng = np.random.default_rng()
+    pertinent = np.zeros(all_count, dtype=bool)
+    pertinent[:pertinent_count] = True
+    rng.shuffle(pertinent)
+    true_indices = sorted(np.nonzero(pertinent)[0].tolist())
+
+    log.info("generating clues...")
+    t0 = time.perf_counter()
+    own = sender.gen_clues(int(pertinent.sum()), rng)
+    other = sender2.gen_clues(int((~pertinent).sum()), rng)
+    a = np.zeros((all_count, own.a.shape[1]), dtype=np.int64)
+    b7 = np.zeros((all_count, own.b7.shape[1]), dtype=np.int64)
+    a[pertinent], b7[pertinent] = own.a, own.b7
+    a[~pertinent], b7[~pertinent] = other.a, other.b7
+    rec.gen_clues_time = time.perf_counter() - t0
+    log.info("gen clues time: %.3fs", rec.gen_clues_time)
+
+    t0 = time.perf_counter()
+    payloads = random_payloads(rng, all_count, params.payload_length)
+    rec.gen_payloads_time = time.perf_counter() - t0
+
+    runner = detector
+    if args.sharded and n_dev > 1:
+        from tfhe_omr_tpu.parallel import ShardedDetector, make_data_mesh
+
+        runner = ShardedDetector(detector, make_data_mesh())
+
+    log.info("detecting...")
+    t0 = time.perf_counter()
+    chunks = []
+    bsz = args.batch
+    if args.sharded and n_dev > 1:
+        bsz = -(-bsz // n_dev) * n_dev
+    done = 0
+    for s in range(0, all_count, bsz):
+        c = min(bsz, all_count - s)
+        pad = bsz - c
+        ca = np.concatenate([a[s : s + c], np.zeros((pad, a.shape[1]), np.int64)])
+        cb = np.concatenate([b7[s : s + c], np.zeros((pad, b7.shape[1]), np.int64)])
+        out = runner.detect(ClueBatch(ca, cb))
+        chunks.append(np.asarray(out)[:c])
+        done += c
+        log.info("  detected %d/%d", done, all_count)
+    import jax as _jax
+
+    pertinency = np.concatenate(chunks)
+    rec.detect_time = time.perf_counter() - t0
+    rec.detect_time_per_message = rec.detect_time / all_count
+    log.info("detect time: %.3fs (%.2f ms/msg, %.1f msg/s)",
+             rec.detect_time, 1e3 * rec.detect_time_per_message,
+             all_count / rec.detect_time)
+
+    retriever = skp.generate_retriever(all_count, pertinent_count)
+    rp = retriever.params
+
+    import jax.numpy as jnp
+
+    pv = jnp.asarray(pertinency)
+
+    log.info("encoding index digests...")
+    t0 = time.perf_counter()
+    index_cts = [
+        detector.encode_pertinent_indices(rp, pv, rng)
+        for _ in range(rp.max_encode_indices_cipher_count)
+    ]
+    rec.encode_indices_time = time.perf_counter() - t0
+    log.info("encode indices time: %.3fs (%d ciphertexts)",
+             rec.encode_indices_time, len(index_cts))
+
+    seed = int(rng.integers(0, 2**63))
+    log.info("encoding payload digests...")
+    t0 = time.perf_counter()
+    payload_cts = detector.encode_pertinent_payloads(rp, pv, payloads, seed)
+    rec.encode_payloads_time = time.perf_counter() - t0
+    log.info("encode payloads time: %.3fs (%d ciphertexts)",
+             rec.encode_payloads_time, payload_cts.shape[0])
+
+    log.info("decoding digest...")
+    t0 = time.perf_counter()
+    indices, solved = retriever.decode_digest(index_cts, payload_cts, seed)
+    rec.decode_time = time.perf_counter() - t0
+    log.info("decode time: %.3fs", rec.decode_time)
+
+    rec.total_time = time.perf_counter() - total0
+
+    ok = indices == true_indices
+    payload_ok = ok and np.array_equal(solved, payloads[indices])
+    if not ok:
+        log.error("index mismatch: got %d, want %d", len(indices),
+                  len(true_indices))
+    elif not payload_ok:
+        diff = int((solved != payloads[indices]).sum())
+        log.error("payload mismatch: %d differing bytes", diff)
+    else:
+        log.info("all %d payloads verified byte-wise. All done in %.1fs",
+                 len(indices), rec.total_time)
+
+    if args.csv:
+        write_csv(args.csv, [rec])
+    sys.exit(0 if payload_ok else 1)
+
+
+if __name__ == "__main__":
+    main()

@@ -10,7 +10,7 @@ Q1 = 134215681  # reference FirstLevelField (2**27 - 2047)
 Q2 = 1125899906826241  # reference SecondLevelField (2**50 - 16383)
 
 
-@pytest.mark.parametrize("q", [Q1, Q2, (1 << 24) - 63, (1 << 30) - 173])
+@pytest.mark.parametrize("q", [Q1, Q2, (1 << 24) - 63, (1 << 30) - 173, (1 << 34) - 41, (1 << 47) - 115])
 def test_mul_matches_python(q, rng):
     f = PrimeField(q)
     a = rng.integers(0, q, size=4096, dtype=np.int64)

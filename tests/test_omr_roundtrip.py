@@ -1,0 +1,72 @@
+"""Full OMR round trip: clues -> detect -> digest -> decode -> payloads.
+
+Counterpart of the end-to-end verification in reference
+``omr_core/examples/omr.rs:222-232`` (decoded payloads must equal the
+originals byte-wise) and the index assertions of
+``examples/omr_time_analyze.rs:215-235``.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from tfhe_omr_tpu.core.keygen import SecretKeyPack
+from tfhe_omr_tpu.core.params import OmrParameters, RetrievalParams
+from tfhe_omr_tpu.core.payload import random_payloads
+from tfhe_omr_tpu.core.sender import ClueBatch
+
+
+def run_omr(params, all_count, pertinent_count, seed=11):
+    skp = SecretKeyPack(params, rng=seed)
+    skp2 = SecretKeyPack(params, rng=seed + 1)
+    rng = np.random.default_rng(seed + 2)
+
+    sender = skp.generate_sender()
+    sender2 = skp2.generate_sender()
+    detector = skp.generate_detector()
+
+    pertinent = np.zeros(all_count, dtype=bool)
+    pertinent[:pertinent_count] = True
+    rng.shuffle(pertinent)
+    true_indices = sorted(np.nonzero(pertinent)[0].tolist())
+
+    own = sender.gen_clues(int(pertinent.sum()), rng)
+    other = sender2.gen_clues(int((~pertinent).sum()), rng)
+    a = np.zeros((all_count, own.a.shape[1]), dtype=np.int64)
+    b7 = np.zeros((all_count, own.b7.shape[1]), dtype=np.int64)
+    a[pertinent], b7[pertinent] = own.a, own.b7
+    a[~pertinent], b7[~pertinent] = other.a, other.b7
+    clues = ClueBatch(a, b7)
+
+    payloads = random_payloads(rng, all_count, params.payload_length)
+
+    pertinency = detector.detect(clues)
+
+    retriever = skp.generate_retriever(all_count, pertinent_count)
+    rp = retriever.params
+
+    index_cts = [
+        detector.encode_pertinent_indices(rp, pertinency, rng)
+        for _ in range(rp.max_encode_indices_cipher_count)
+    ]
+    seed_digest = rng.integers(0, 2**63)
+    payload_cts = detector.encode_pertinent_payloads(
+        rp, pertinency, payloads, seed_digest
+    )
+
+    indices, solved = retriever.decode_digest(index_cts, payload_cts, seed_digest)
+    return true_indices, indices, payloads, solved
+
+
+def test_roundtrip_tiny():
+    params = OmrParameters.tiny()
+    true_indices, indices, payloads, solved = run_omr(params, 48, 6)
+    assert indices == true_indices
+    np.testing.assert_array_equal(solved, payloads[indices])
+
+
+def test_roundtrip_tiny_all_pertinent():
+    params = OmrParameters.tiny()
+    true_indices, indices, payloads, solved = run_omr(params, 8, 8)
+    assert indices == true_indices
+    np.testing.assert_array_equal(solved, payloads[indices])

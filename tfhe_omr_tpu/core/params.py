@@ -158,17 +158,17 @@ class OmrParameters:
     def tiny(noise_free: bool = False) -> "OmrParameters":
         """Small self-consistent set for fast tests (framework addition)."""
         q1 = find_ntt_prime(24, 512)
-        q2 = find_ntt_prime(30, 1024)
-        s = 0.0 if noise_free else 1.0
+        q2 = find_ntt_prime(38, 1024)
+        s = 0.0 if noise_free else 0.5
         return OmrParameters(
             clue_params=LweParams(64, 8, 512, "binary", 0.0 if noise_free else 0.5),
             clue_count=7,
-            first_level_br=GadgetRlweParams(256, q1, "ternary", s, 4, 4),
+            first_level_br=GadgetRlweParams(256, q1, "ternary", s, 4, 5),
             first_level_ks=KeySwitchParams(
                 256, 96, q1.bit_length(), 1, 0.0 if noise_free else 32.0
             ),
             intermediate_lwe=LweParams(96, 32, 1024, "binary", s),
-            second_level_br=GadgetRlweParams(512, q2, "ternary", s, 5, 4),
+            second_level_br=GadgetRlweParams(512, q2, "ternary", s, 5, 7),
             trace=GadgetRlweParams(
                 512, q2, "ternary", s, 2, -(-q2.bit_length() // 2)
             ),

@@ -66,8 +66,27 @@ class Retriever:
         spb = rp.slots_per_bucket
         nd = rp.index_slots_per_bucket
         n_seg = rp.segment_per_cipher
+        n_buckets = rp.bucket_count_per_segment
+        found = None
+        try:
+            from tfhe_omr_tpu.native import scan_buckets_native
+
+            found = scan_buckets_native(
+                decoded[: n_seg * sps],
+                n_seg,
+                sps,
+                spb,
+                n_buckets,
+                int(rp.index_modulus),
+                rp.all_payloads_count,
+            )
+        except ImportError:
+            pass
+        if found is not None:
+            self.pertinent_indices_set.update(int(i) for i in found)
+            return len(self.pertinent_indices_set) == rp.pertinent_count
         usable = decoded[: n_seg * sps].reshape(n_seg, -1)
-        buckets = usable[:, : (sps // spb) * spb].reshape(n_seg, -1, spb)
+        buckets = usable[:, : n_buckets * spb].reshape(n_seg, -1, spb)
         flags = buckets[..., -1]
         hit_seg, hit_bkt = np.nonzero(flags == 1)
         for s, b in zip(hit_seg, hit_bkt):

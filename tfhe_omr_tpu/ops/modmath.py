@@ -54,9 +54,10 @@ class PrimeField:
             )
         # generic mul: direct int64 product fits iff 2*bits <= 62
         self.small = self.bits <= 31
-        if not self.small and self.bits != 50:
+        self.mid = 31 < self.bits <= 38
+        if not (self.small or self.mid or 46 <= self.bits <= 50):
             raise ValueError(
-                "generic modmul supports bits <= 31 or exactly 50 "
+                "generic modmul supports bits <= 38 or 46..50 "
                 f"(got {self.bits})"
             )
         # Shoup path: small variant needs x * w_sh < 2**63 (bits + 35 <= 63)
@@ -138,7 +139,16 @@ class PrimeField:
     def mul(self, a, b):
         """Generic modmul, both operands variable, values in [0, q)."""
         if self.small:
-            return self.reduce(a * b)  # product < 2**54 exact in int64
+            return self.reduce(a * b)  # product < 2**62 exact in int64
+        if self.mid:
+            # half-width limbs: P = H*2^2t + M*2^t + L with 2^2t == e2t (mod q)
+            t = (self.bits + 1) // 2
+            tm = _const((1 << t) - 1)
+            a1, a0 = a >> t, a & tm
+            b1, b0 = b >> t, b & tm
+            e2t = _const((1 << (2 * t)) % self.q)
+            T = a1 * b1 * e2t + (a1 * b0 + a0 * b1) * (1 << t) + a0 * b0
+            return self.reduce(T, 3 * self.bits // 2 + 4)
         L25 = _const((1 << 25) - 1)
         a1, a0 = a >> 25, a & L25
         b1, b0 = b >> 25, b & L25
@@ -151,9 +161,8 @@ class PrimeField:
         Mp = H1 * e50 + M  # < 2**52
         Lp = H0 * e50 + L  # < 2**51
         M1, M0 = Mp >> 25, Mp & L25
-        T = M1 * e50 + (M0 << 25) + Lp  # < 2**52
-        T = (T >> 50) * e50 + (T & _const((1 << 50) - 1))
-        return T - _const(self.q) * (T >= _const(self.q))
+        T = M1 * e50 + (M0 << 25) + Lp  # < 2**56 (bits 46..50)
+        return self.reduce(T, 56)
 
     def mul_shoup(self, x, w, w_sh):
         """Modmul by fixed ``w`` with precomputed companion ``w_sh``.
