@@ -10,6 +10,11 @@ import argparse
 import logging
 import time
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import numpy as np
 
 log = logging.getLogger("omd")

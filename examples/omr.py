@@ -11,8 +11,12 @@ Usage:
 
 import argparse
 import logging
-import sys
 import time
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 
