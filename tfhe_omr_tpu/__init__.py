@@ -30,11 +30,24 @@ Subpackage map (counterpart of the reference layer map, see SURVEY.md §1):
   the client-side decoder) with a NumPy fallback.
 """
 
+import os
+
 import jax
 
 # Exact 64-bit lattice arithmetic requires x64 mode. This must run before any
 # jax.numpy arrays are created by this package.
 jax.config.update("jax_enable_x64", True)
+
+# The bootstrapping programs are large graphs that can take minutes to compile
+# on remote TPU backends; persist compilations across processes.
+if os.environ.get("TFHE_OMR_NO_COMPILE_CACHE") != "1":
+    _cache_dir = os.environ.get(
+        "JAX_COMPILATION_CACHE_DIR",
+        os.path.join(os.path.expanduser("~"), ".cache", "tfhe_omr_jax"),
+    )
+    os.makedirs(_cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
 
 from tfhe_omr_tpu.core.params import OmrParameters, RetrievalParams  # noqa: E402
 from tfhe_omr_tpu.core.payload import PAYLOAD_LENGTH, random_payloads  # noqa: E402

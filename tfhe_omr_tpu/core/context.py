@@ -18,6 +18,14 @@ from tfhe_omr_tpu.core.params import OmrParameters
 from tfhe_omr_tpu.ops.decompose import SignedGadget
 from tfhe_omr_tpu.ops.modmath import PrimeField
 from tfhe_omr_tpu.ops.ntt import NegacyclicNtt
+from tfhe_omr_tpu.ops.ntt_smallfield import SmallFieldNtt
+
+
+def make_ntt(field: PrimeField, n: int):
+    """Pick the fastest exact NTT implementation for the field width."""
+    if 2 * field.bits + 4 <= 62 and n >= 32:
+        return SmallFieldNtt(field, n)
+    return NegacyclicNtt(field, n)
 
 
 class OmrContext:
@@ -29,12 +37,12 @@ class OmrContext:
         self.f2 = PrimeField(params.q2)
 
     @cached_property
-    def ntt1(self) -> NegacyclicNtt:
-        return NegacyclicNtt(self.f1, self.params.n1)
+    def ntt1(self):
+        return make_ntt(self.f1, self.params.n1)
 
     @cached_property
-    def ntt2(self) -> NegacyclicNtt:
-        return NegacyclicNtt(self.f2, self.params.n2)
+    def ntt2(self):
+        return make_ntt(self.f2, self.params.n2)
 
     @cached_property
     def gadget_br1(self) -> SignedGadget:

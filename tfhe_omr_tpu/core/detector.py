@@ -90,8 +90,8 @@ class Detector:
         ks = make_lwe_keyswitch(f1, p.first_level_ks.digits, p.first_level_ks.out_dimension)
         trace = make_trace(f2, ntt2, ctx.gadget_trace, ctx.trace_autos)
 
-        lut1_ext = jnp.asarray(ctx.lut1_ext)
-        lut2_ext = jnp.asarray(ctx.lut2_ext)
+        lut1_ext = jnp.asarray(ctx.lut1_ext, dtype=f1.storage_dtype)
+        lut2_ext = jnp.asarray(ctx.lut2_ext, dtype=f2.storage_dtype)
         ex_idx, ex_neg = ctx.clue_extract_tables
         ex_idx = jnp.asarray(ex_idx)
         ex_neg = jnp.asarray(ex_neg)
@@ -100,45 +100,63 @@ class Detector:
         n2_inv_j = jnp.int64(n2_inv)
         n2_inv_sh = jnp.int64(int(f2.shoup(n2_inv)))
 
-        def detect(clue_a, clue_b7, key: DetectionKey):
+        assert q0 == 2 * n1, "clue modulus must equal 2*N1"
+        assert q_inter == 2 * n2
+
+        def stage1(clue_a, clue_b7, bsk1, bsk1_sh, ksk_limbs):
+            """Extract + first-level bootstrapping + key switch + mod switch.
+
+            Counterpart of ``extract_clues_and_modulus_switch`` +
+            ``first_level_bootstrapping`` (reference ``detector.rs:505-597``;
+            the mod-switch-to-2N1 guard at ``:521`` is a no-op here).
+            """
             bsz = clue_a.shape[0]
-            # --- extract 7 LWE clues per message (mod-switch to 2N1 is a
-            # no-op at default params; guard mirrors ``detector.rs:521``)
             a_ext = jnp.where(
                 ex_neg[None].astype(bool),
                 (q0 - clue_a[:, ex_idx]) & (q0 - 1),
                 clue_a[:, ex_idx],
             )  # (B, c, n0)
-            assert q0 == 2 * n1, "clue modulus must equal 2*N1"
             amounts1 = a_ext.reshape(bsz * clue_count, self._n0).T  # (n0, M)
             b1 = clue_b7.reshape(bsz * clue_count)
 
-            # --- first-level blind rotation, batched over B*7
             acc = init_accumulator(f1, lut1_ext, b1, n1)
-            acc = br1(acc, amounts1, key.bsk1, key.bsk1_sh)
+            acc = br1(acc, amounts1, bsk1, bsk1_sh)
             # sum the 7 per-clue results (``detector.rs:556``)
             acc = f1.mod_sum(acc.reshape(n1, 2, bsz, clue_count), axis=3)
 
-            # --- extract + key switch + mod switch
             a_vec, b0 = extract_constant_lwe(f1, acc)
-            ks_a, ks_b = ks(a_vec.T, b0, key.ksk_limbs)
+            ks_a, ks_b = ks(a_vec.T, b0, ksk_limbs)
             ms_a = lwe_modulus_switch(f1, ks_a, q_inter)
             ms_b = lwe_modulus_switch(f1, ks_b, q_inter)
             ms_b = (ms_b + inter_offset) & (q_inter - 1)
+            return ms_a, ms_b
 
-            # --- second-level blind rotation (mod-switch to 2N2 is a no-op,
-            # guard mirrors ``detector.rs:612``)
-            assert q_inter == 2 * n2
+        def stage2(ms_a, ms_b, bsk2, bsk2_sh):
+            """Second-level blind rotation (``detector.rs:599-624``; the
+            mod-switch-to-2N2 guard at ``:612`` is a no-op here)."""
             acc2 = init_accumulator(f2, lut2_ext, ms_b, n2)
-            acc2 = br2(acc2, ms_a.T, key.bsk2, key.bsk2_sh)
+            return br2(acc2, ms_a.T, bsk2, bsk2_sh)
 
-            # --- x N^-1 then homomorphic trace (``detector.rs:626-639``)
+        def stage3(acc2, trace_k, trace_k_sh):
+            """x N^-1, homomorphic trace, to NTT domain
+            (``detector.rs:626-639``)."""
             acc2 = f2.mul_shoup(acc2, n2_inv_j, n2_inv_sh)
-            acc2 = trace(acc2, key.trace_k, key.trace_k_sh)
+            acc2 = trace(acc2, trace_k, trace_k_sh)
             out = ntt2.fwd(acc2)  # to NTT domain (``to_ntt_rlwe``)
             return out.transpose(2, 1, 0)  # (B, 2, N2)
 
-        self._detect_jit = jax.jit(detect)
+        self._stage1_jit = jax.jit(stage1)
+        self._stage2_jit = jax.jit(stage2)
+        self._stage3_jit = jax.jit(stage3)
+
+        def detect(clue_a, clue_b7, key: DetectionKey):
+            ms_a, ms_b = stage1(
+                clue_a, clue_b7, key.bsk1, key.bsk1_sh, key.ksk_limbs
+            )
+            acc2 = stage2(ms_a, ms_b, key.bsk2, key.bsk2_sh)
+            return stage3(acc2, key.trace_k, key.trace_k_sh)
+
+        self._detect_fn = detect
 
         def encode_chunk(pert, plain, acc):
             """One digest-accumulation chunk.
@@ -160,19 +178,39 @@ class Detector:
         Each row is an NTT-domain RLWE ct encrypting Delta2 * pertinency_bit
         in the constant slot (counterpart of ``Detector::detect``).
         """
-        return self._detect_jit(
-            jnp.asarray(clues.a), jnp.asarray(clues.b7), self.key
+        key = self.key
+        ms_a, ms_b = self._stage1_jit(
+            jnp.asarray(clues.a), jnp.asarray(clues.b7),
+            key.bsk1, key.bsk1_sh, key.ksk_limbs,
         )
+        acc2 = self._stage2_jit(ms_a, ms_b, key.bsk2, key.bsk2_sh)
+        return self._stage3_jit(acc2, key.trace_k, key.trace_k_sh)
 
     def detect_with_time_info(self, clues: ClueBatch):
+        """Per-stage timed detect (counterpart of ``detect_with_time_info``,
+        reference ``detector.rs:169-221``)."""
         import time
 
+        key = self.key
         t0 = time.perf_counter()
-        out = self.detect(clues)
-        jax.block_until_ready(out)
+        ms_a, ms_b = self._stage1_jit(
+            jnp.asarray(clues.a), jnp.asarray(clues.b7),
+            key.bsk1, key.bsk1_sh, key.ksk_limbs,
+        )
+        jax.block_until_ready((ms_a, ms_b))
         t1 = time.perf_counter()
-        # stage split requires separate compilations; report total only here
-        return out, DetectStageTimes(detect_time=t1 - t0)
+        acc2 = self._stage2_jit(ms_a, ms_b, key.bsk2, key.bsk2_sh)
+        jax.block_until_ready(acc2)
+        t2 = time.perf_counter()
+        out = self._stage3_jit(acc2, key.trace_k, key.trace_k_sh)
+        jax.block_until_ready(out)
+        t3 = time.perf_counter()
+        return out, DetectStageTimes(
+            detect_time=t3 - t0,
+            first_level_bootstrapping_time=t1 - t0,
+            second_level_bootstrapping_time=t2 - t1,
+            trace_time=t3 - t2,
+        )
 
     # ------------------------------------------------------- digest encoder
     def build_index_plaintexts(

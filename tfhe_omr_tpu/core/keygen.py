@@ -24,6 +24,7 @@ from tfhe_omr_tpu.core.context import OmrContext
 from tfhe_omr_tpu.core.params import OmrParameters
 from tfhe_omr_tpu.ops.modmath import PrimeField
 from tfhe_omr_tpu.ops.ntt import NegacyclicNtt
+from tfhe_omr_tpu.utils.devices import host_math, to_accelerator
 
 
 class DetectionKey(NamedTuple):
@@ -116,8 +117,9 @@ class SecretKeyPack:
         self.z2 = _gen_secret(rng, p.second_level_br.secret_type, p.n2)
         self.z1_f = np.mod(self.z1, c.f1.q).astype(np.int64)
         self.z2_f = np.mod(self.z2, c.f2.q).astype(np.int64)
-        self.z1_ntt = c.ntt1.fwd_last(jnp.asarray(self.z1_f))
-        self.z2_ntt = c.ntt2.fwd_last(jnp.asarray(self.z2_f))
+        with host_math():
+            self.z1_ntt = c.ntt1.fwd_last(jnp.asarray(self.z1_f))
+            self.z2_ntt = c.ntt2.fwd_last(jnp.asarray(self.z2_f))
 
     # ------------------------------------------------------------- clue key
     def generate_clue_key(self) -> ClueKey:
@@ -148,29 +150,30 @@ class SecretKeyPack:
         p = self.params
         rng = self.rng
 
-        bsk1, bsk1_sh = self._gen_bsk(
-            self.clue_sk,
-            self.z1_f,
-            self.z1_ntt,
-            c.f1,
-            c.ntt1,
-            c.gadget_br1,
-            p.first_level_br.noise_std,
-            rng,
-        )
-        ksk_limbs = self._gen_ksk(rng)
-        bsk2, bsk2_sh = self._gen_bsk(
-            self.inter_sk,
-            self.z2_f,
-            self.z2_ntt,
-            c.f2,
-            c.ntt2,
-            c.gadget_br2,
-            p.second_level_br.noise_std,
-            rng,
-        )
-        trace_k, trace_k_sh = self._gen_trace_key(rng)
-        return DetectionKey(
+        with host_math():
+            bsk1, bsk1_sh = self._gen_bsk(
+                self.clue_sk,
+                self.z1_f,
+                self.z1_ntt,
+                c.f1,
+                c.ntt1,
+                c.gadget_br1,
+                p.first_level_br.noise_std,
+                rng,
+            )
+            ksk_limbs = self._gen_ksk(rng)
+            bsk2, bsk2_sh = self._gen_bsk(
+                self.inter_sk,
+                self.z2_f,
+                self.z2_ntt,
+                c.f2,
+                c.ntt2,
+                c.gadget_br2,
+                p.second_level_br.noise_std,
+                rng,
+            )
+            trace_k, trace_k_sh = self._gen_trace_key(rng)
+        return to_accelerator(DetectionKey(
             bsk1=bsk1,
             bsk1_sh=bsk1_sh,
             ksk_limbs=ksk_limbs,
@@ -178,7 +181,7 @@ class SecretKeyPack:
             bsk2_sh=bsk2_sh,
             trace_k=trace_k,
             trace_k_sh=trace_k_sh,
-        )
+        ))
 
     def _gen_bsk(self, lwe_sk, z_f, z_ntt, field, ntt, gadget, noise_std, rng):
         """RGSW encryptions of each LWE secret bit under the ring key.
@@ -211,7 +214,11 @@ class SecretKeyPack:
         # (n, c, d, N, o) -> (n, N, d, c, o)
         key = jnp.stack([a, b], axis=-1).transpose(0, 3, 2, 1, 4)
         key_np = np.asarray(key)
-        return jnp.asarray(key_np), jnp.asarray(field.shoup(key_np))
+        sd = field.storage_dtype
+        return (
+            jnp.asarray(key_np, dtype=sd),
+            jnp.asarray(field.shoup(key_np), dtype=sd),
+        )
 
     def _gen_ksk(self, rng):
         """LWE key switch z1 (as 1024-dim LWE secret) -> s2, binary digits.
@@ -312,9 +319,11 @@ class SecretKeyPack:
         """Decrypt an NTT-domain second-level RLWE ct (B, 2, N2) -> plaintext
         coefficients mod q2 (message*Delta + noise). Tests/retriever helper."""
         c = self.ctx
-        ct = jnp.asarray(ct)
-        phase = c.f2.sub(ct[..., 1, :], c.f2.mul(ct[..., 0, :], self.z2_ntt))
-        return np.asarray(c.ntt2.inv_last(phase))
+        with host_math():
+            ct = jnp.asarray(np.asarray(ct))
+            z2 = jnp.asarray(np.asarray(self.z2_ntt))
+            phase = c.f2.sub(ct[..., 1, :], c.f2.mul(ct[..., 0, :], z2))
+            return np.asarray(c.ntt2.inv_last(phase))
 
 
 def _negacyclic_matrix(poly: np.ndarray, q: int) -> np.ndarray:

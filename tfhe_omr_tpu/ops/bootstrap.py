@@ -65,6 +65,7 @@ def make_blind_rotate(field: PrimeField, ntt: NegacyclicNtt, gadget: SignedGadge
         return field.add(acc, ntt.inv(p))
 
     def blind_rotate(acc, amounts, bsk, bsk_sh):
+        acc = acc.astype(field.storage_dtype)
         n_lwe = amounts.shape[0]
         return jax.lax.fori_loop(
             0,

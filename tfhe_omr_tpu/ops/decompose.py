@@ -58,6 +58,7 @@ class SignedGadget:
         Approx mode gives balanced signed digits in [-B/2, B/2), exact mode
         unsigned digits in [0, B).
         """
+        x = self.field._up(x)  # int32-stored fields: products below need 64b
         log_b = self.log_b
         bmask = jnp.int64((1 << log_b) - 1)
         if self.exact:

@@ -37,8 +37,10 @@ def _const(v: int):
 class PrimeField:
     """Modular arithmetic helpers for a fixed prime ``q = 2**bits - eps``."""
 
-    #: Shoup precomputation shift for the small-field path (bits <= 27).
-    SMALL_SHOUP_SHIFT = 35
+    #: Shoup precomputation shift for the small-field path (bits <= 28).
+    #: Chosen as 30 so Shoup companions fit in int32 storage (correctness
+    #: needs shift >= bits + 2; all intermediates stay < 2**58 in int64).
+    SMALL_SHOUP_SHIFT = 30
     #: Shoup precomputation shift for the large-field path (bits <= 50).
     BIG_SHOUP_SHIFT = 52
 
@@ -66,6 +68,11 @@ class PrimeField:
         self.shoup_shift = (
             self.SMALL_SHOUP_SHIFT if self.small_shoup else self.BIG_SHOUP_SHIFT
         )
+        # fields below 29 bits store values (and Shoup companions) as int32 —
+        # on TPU this halves HBM traffic for every materialised tensor; all
+        # arithmetic still happens in int64 registers (upcast/downcast fuse
+        # into the elementwise op chains).
+        self.storage_dtype = jnp.int32 if self.bits <= 28 else jnp.int64
 
     # ------------------------------------------------------------------ host
     def shoup(self, w):
@@ -121,23 +128,36 @@ class PrimeField:
         return root
 
     # ---------------------------------------------------------------- device
+    def _up(self, x):
+        return x.astype(_I64) if x.dtype != _I64 else x
+
+    def _down(self, x):
+        return x.astype(self.storage_dtype)
+
     def add(self, a, b):
+        a, b = self._up(a), self._up(b)
         s = a + b
-        return s - _const(self.q) * (s >= _const(self.q))
+        return self._down(s - _const(self.q) * (s >= _const(self.q)))
 
     def sub(self, a, b):
+        a, b = self._up(a), self._up(b)
         d = a - b
-        return d + _const(self.q) * (d < 0)
+        return self._down(d + _const(self.q) * (d < 0))
 
     def neg(self, a):
-        return jnp.where(a == 0, jnp.zeros_like(a), _const(self.q) - a)
+        a = self._up(a)
+        return self._down(
+            jnp.where(a == 0, jnp.zeros_like(a), _const(self.q) - a)
+        )
 
     def to_field(self, a):
-        """Map signed int64 values in (-q, q) into [0, q)."""
-        return a + _const(self.q) * (a < 0)
+        """Map signed values in (-q, q) into [0, q)."""
+        a = self._up(a)
+        return self._down(a + _const(self.q) * (a < 0))
 
     def mul(self, a, b):
         """Generic modmul, both operands variable, values in [0, q)."""
+        a, b = self._up(a), self._up(b)
         if self.small:
             return self.reduce(a * b)  # product < 2**62 exact in int64
         if self.mid:
@@ -169,21 +189,23 @@ class PrimeField:
 
         Requires x in [0, 2**shoup_shift); w in [0, q). Result in [0, q).
         """
+        x, w, w_sh = self._up(x), self._up(w), self._up(w_sh)
         q = _const(self.q)
         if self.small_shoup:
-            t = (x * w_sh) >> self.SMALL_SHOUP_SHIFT  # x*w_sh < 2**62
+            t = (x * w_sh) >> self.SMALL_SHOUP_SHIFT  # x*w_sh < 2**58
             r = x * w - t * q
-            return r - q * (r >= q)
+            return self._down(r - q * (r >= q))
         L26 = _const((1 << 26) - 1)
         x1, x0 = x >> 26, x & L26  # x1 < 2**24
         w1, w0 = w_sh >> 26, w_sh & L26  # w1 < 2**26
         mid = x1 * w0 + x0 * w1 + ((x0 * w0) >> 26)  # < 2**53
         t = x1 * w1 + (mid >> 26)  # == floor(x * w_sh / 2**52)
         r = x * w - t * q  # wrapping; true value in [0, 2q)
-        return r - q * (r >= q)
+        return r - q * (r >= q)  # int64 storage for big fields
 
     def reduce(self, v, bound_bits: int = 62):
         """Reduce non-negative int64 v < 2**bound_bits to [0, q)."""
+        v = self._up(v)
         q = _const(self.q)
         bits = self.bits
         mask = _const(self.mask)
@@ -200,14 +222,14 @@ class PrimeField:
             bound = nb
         assert bound <= bits + 2, (bound, bits)
         v = v - q * (v >= q)
-        return v - q * (v >= q)
+        return self._down(v - q * (v >= q))
 
     def mod_sum(self, x, axis: int):
         """Exact modular sum along ``axis`` with overflow-safe chunking."""
         n = x.shape[axis]
         # how many q-sized terms fit in an int64 without overflow
         chunk = max(2, (1 << 62) // (1 << self.bits) // 2)
-        x = jnp.moveaxis(x, axis, 0)
+        x = self._up(jnp.moveaxis(x, axis, 0))
         while x.shape[0] > 1:
             c = min(chunk, x.shape[0])
             pad = (-x.shape[0]) % c
@@ -215,9 +237,11 @@ class PrimeField:
                 x = jnp.concatenate(
                     [x, jnp.zeros((pad,) + x.shape[1:], x.dtype)], axis=0
                 )
-            x = x.reshape((x.shape[0] // c, c) + x.shape[1:]).sum(axis=1)
-            x = self.reduce(x)
-        return x[0]
+            x = self._up(
+                x.reshape((x.shape[0] // c, c) + x.shape[1:]).sum(axis=1)
+            )
+            x = self._up(self.reduce(x))
+        return self._down(x[0])
 
     # ------------------------------------------------------------- utilities
     def rand(self, rng: np.random.Generator, shape):

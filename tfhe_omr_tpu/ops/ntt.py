@@ -27,6 +27,7 @@ import numpy as np
 import jax.numpy as jnp
 
 from tfhe_omr_tpu.ops.modmath import PrimeField
+from tfhe_omr_tpu.utils.devices import host_math
 
 
 def _bit_reverse_indices(n: int) -> np.ndarray:
@@ -68,18 +69,29 @@ class NegacyclicNtt:
         psi_pows[:] = pw[br]
         ipsi_pows[:] = ipw[br]
 
-        # stage twiddles as device constants
+        # stage twiddles as device constants (field storage dtype)
+        sd = field.storage_dtype
         self._fwd_tw = []
         self._inv_tw = []
         m = 1
         while m < n:
-            w = jnp.asarray(psi_pows[m : 2 * m])
-            self._fwd_tw.append((w, jnp.asarray(field.shoup(psi_pows[m : 2 * m]))))
+            w = jnp.asarray(psi_pows[m : 2 * m], dtype=sd)
+            self._fwd_tw.append(
+                (w, jnp.asarray(field.shoup(psi_pows[m : 2 * m]), dtype=sd))
+            )
             m *= 2
         h = n // 2
         while h >= 1:
-            w = jnp.asarray(ipsi_pows[h : 2 * h])
-            self._inv_tw.append((w, jnp.asarray(field.shoup(ipsi_pows[h : 2 * h]))))
+            tw = ipsi_pows[h : 2 * h]
+            if h == 1:
+                # fold the 1/N scale into the last GS stage (both outputs)
+                tw = tw * np.int64(0) + np.asarray(
+                    [(int(ipsi_pows[1]) * self.n_inv) % q], dtype=np.int64
+                )
+            w = jnp.asarray(tw, dtype=sd)
+            self._inv_tw.append(
+                (w, jnp.asarray(field.shoup(tw), dtype=sd))
+            )
             h //= 2
         self._n_inv = jnp.int64(self.n_inv)
         self._n_inv_sh = jnp.int64(int(field.shoup(self.n_inv)))
@@ -94,9 +106,11 @@ class NegacyclicNtt:
 
         # evaluation-order exponents: fwd output slot k evaluates the input
         # polynomial at psi**orders[k]. Derived empirically so it is robust to
-        # the butterfly ordering convention.
-        root_of_slot = np.asarray(self.fwd(jnp.asarray(
-            np.eye(1, n, 1, dtype=np.int64).reshape(n, 1))))[:, 0]
+        # the butterfly ordering convention. Pinned to CPU: eager ops on a
+        # remote TPU backend would each compile remotely.
+        with host_math():
+            root_of_slot = np.asarray(self.fwd(jnp.asarray(
+                np.eye(1, n, 1, dtype=np.int64).reshape(n, 1))))[:, 0]
         dlog = {int(pow2n[i]): i for i in range(2 * n)}
         self.orders = np.array([dlog[int(r)] for r in root_of_slot],
                                dtype=np.int64)
@@ -124,24 +138,33 @@ class NegacyclicNtt:
         return x
 
     def inv(self, x):
-        """Inverse negacyclic NTT along axis 0 (GS), including 1/N scale."""
+        """Inverse negacyclic NTT along axis 0 (GS), including 1/N scale.
+
+        The 1/N factor is folded into the final stage: its twiddle is
+        ipsi*ninv and the sum output is scaled by ninv directly, so no extra
+        full-array pass is materialised.
+        """
         f = self.field
         n = self.n
         batch = x.shape[1:]
         t = 1
         h = n // 2
         for w, w_sh in self._inv_tw:
+            last = h == 1
             xr = x.reshape((h, 2, t) + batch)
             u = xr[:, 0]
             v = xr[:, 1]
             wv = w.reshape((h, 1) + (1,) * len(batch))
             wsv = w_sh.reshape((h, 1) + (1,) * len(batch))
+            s = f.add(u, v)
+            if last:
+                s = f.mul_shoup(s, self._n_inv, self._n_inv_sh)
             x = jnp.stack(
-                (f.add(u, v), f.mul_shoup(f.sub(u, v), wv, wsv)), axis=1
+                (s, f.mul_shoup(f.sub(u, v), wv, wsv)), axis=1
             ).reshape((n,) + batch)
             t *= 2
             h //= 2
-        return f.mul_shoup(x, self._n_inv, self._n_inv_sh)
+        return x
 
     def fwd_last(self, x):
         """Forward NTT along the last axis (convenience, extra transposes)."""
@@ -159,8 +182,12 @@ class NegacyclicNtt:
         Shoup modmul — no data-dependent gathers of ciphertext data.
         """
         q = self.field.q
+        sd = self.field.storage_dtype
         vals = (self._psi_pow_2n - 1) % q
-        return jnp.asarray(vals), jnp.asarray(self.field.shoup(vals))
+        return (
+            jnp.asarray(vals, dtype=sd),
+            jnp.asarray(self.field.shoup(vals), dtype=sd),
+        )
 
     def monomial_exponents(self, a):
         """Exponent indices e[k, ...] = (orders[k] * a[...]) % 2N.

@@ -43,11 +43,15 @@ class ShardedDetector:
         self.axis = axis_name
         self.n_dev = mesh.devices.size
         f2 = detector.ctx.f2
+        # replicate the (read-only) detection key across the mesh — the TPU
+        # equivalent of rayon threads sharing the key by reference
+        self.key = jax.device_put(
+            detector.key, NamedSharding(mesh, P())
+        )
 
-        detect_fn = detector._detect_jit.__wrapped__
         self._detect_sharded = jax.jit(
             shard_map(
-                detect_fn,
+                detector._detect_fn,
                 mesh=mesh,
                 in_specs=(P(axis_name), P(axis_name), P()),
                 out_specs=P(axis_name),
@@ -85,10 +89,14 @@ class ShardedDetector:
         """Sharded batched detection; batch must divide evenly by #devices."""
         bsz = clues.a.shape[0]
         assert bsz % self.n_dev == 0, (bsz, self.n_dev)
-        return self._detect_sharded(
-            jnp.asarray(clues.a), jnp.asarray(clues.b7), self.detector.key
-        )
+        sh = NamedSharding(self.mesh, P(self.axis))
+        a = jax.device_put(jnp.asarray(clues.a), sh)
+        b7 = jax.device_put(jnp.asarray(clues.b7), sh)
+        return self._detect_sharded(a, b7, self.key)
 
     def encode_chunk(self, pertinency, plain):
         """Digest chunk accumulation with psum reduce; returns (2, N2)."""
-        return self._encode_sharded(pertinency, jnp.asarray(plain))
+        sh = NamedSharding(self.mesh, P(self.axis))
+        pert = jax.device_put(jnp.asarray(pertinency), sh)
+        pl = jax.device_put(jnp.asarray(plain), sh)
+        return self._encode_sharded(pert, pl)

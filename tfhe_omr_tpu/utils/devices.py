@@ -1,0 +1,40 @@
+"""Device-placement helpers.
+
+Key generation and table construction are many small eager ops; on a
+networked TPU backend every eager op would trigger its own remote
+compilation. All host-side math therefore runs pinned to the CPU backend
+(``host_math``), and finished key material is shipped to the accelerator
+once (``to_accelerator``).
+"""
+
+from __future__ import annotations
+
+from contextlib import contextmanager
+
+import jax
+
+
+def cpu_device():
+    try:
+        return jax.devices("cpu")[0]
+    except RuntimeError:
+        return jax.devices()[0]
+
+
+def accelerator_device():
+    """The default compute device (TPU when present, else CPU)."""
+    return jax.devices()[0]
+
+
+@contextmanager
+def host_math():
+    """Run eager jnp math on the CPU backend (fast dispatch, no remote
+    compiles)."""
+    with jax.default_device(cpu_device()):
+        yield
+
+
+def to_accelerator(tree):
+    """Move a pytree of arrays to the accelerator in one transfer each."""
+    dev = accelerator_device()
+    return jax.device_put(tree, dev)
