@@ -12,16 +12,18 @@ Key architectural inversions vs the reference (SURVEY.md §7):
   vector lanes carry the batch.
 * The per-message monomial rotation ``X^a * ACC`` is applied **in the NTT
   domain after the gadget MAC**, as a pointwise product with
-  ``NTT(X^a - 1)`` looked up from a 2N-entry table (exact because gadget
-  recomposition is linear; the decomposition error lands in the noise term
-  either way). This removes all data-dependent gathers of ciphertext data
-  from the hot loop.
+  ``NTT(X^a - 1)`` (exact because gadget recomposition is linear; the
+  decomposition error lands in the noise term either way), and that
+  multiplier is COMPUTED per element with a square-and-multiply ladder —
+  XLA TPU gathers are element-serial, so there are no data-dependent
+  gathers anywhere in the hot loop.
 * LWE key switching is a pair of int8 limb matmuls on the MXU (digits are
   binary; the key is pre-split into 7-bit planes with int32 accumulation).
 """
 
 from __future__ import annotations
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 
@@ -40,9 +42,44 @@ def make_blind_rotate(field: PrimeField, ntt: NegacyclicNtt, gadget: SignedGadge
     Computes ACC <- ACC + (X^{a_i} - 1) * (ACC (x) RGSW(s_i)) for each i,
     i.e. the CMUX chain of TFHE blind rotation for binary LWE secrets.
     """
-    mono_tab, mono_tab_sh = ntt.monomial_minus_one_tables()
-    orders = jnp.asarray(ntt.orders)
     two_n = 2 * ntt.n
+    log2n = two_n.bit_length() - 1
+    q = field.q
+    # psi^(2^j) constants (+ Shoup) for the per-column power ladder
+    psi_pows2 = [pow(ntt.psi, 1 << j, q) for j in range(log2n)]
+    psi_pows2_sh = [int(field.shoup(w)) for w in psi_pows2]
+    # static bit masks of the evaluation orders o_k
+    orders_np = np.asarray(ntt.orders)
+    order_bits = [
+        jnp.asarray(((orders_np >> j) & 1).astype(bool))
+        for j in range(log2n)
+    ]
+
+    def monomial_minus_one(a_i):
+        """(N, B) values ``NTT(X^a - 1)[k] = psi^(a_m * o_k) - 1``, computed
+        gather-free: XLA TPU gathers are element-serial and a (N, B) lookup
+        in the psi-power table dominated the whole CMUX step (62%).
+
+        base[m] = psi^(a_m) by square-and-multiply over the bits of a_m
+        (constant multipliers); sq_j[m] = base^(2^j) by repeated squaring;
+        mono[k, m] = prod over the STATIC bits of o_k of sq_j[m].
+        """
+        one = jnp.ones(a_i.shape, dtype=field.storage_dtype)
+        base = one
+        for j in range(log2n):
+            bit = ((a_i >> j) & 1).astype(bool)
+            stepped = field.mul_shoup(
+                base, jnp.int64(psi_pows2[j]), jnp.int64(psi_pows2_sh[j])
+            )
+            base = jnp.where(bit, stepped, base)
+        mono = None
+        sq = base
+        for j in range(log2n):
+            if j > 0:
+                sq = field.mul(sq, sq)
+            term = jnp.where(order_bits[j][:, None], sq[None, :], one[None, :])
+            mono = term if mono is None else field.mul(mono, term)
+        return field.sub(mono, one)
 
     def step(i, acc, amounts, bsk, bsk_sh):
         a_i = jax.lax.dynamic_index_in_dim(amounts, i, axis=0, keepdims=False)
@@ -57,11 +94,11 @@ def make_blind_rotate(field: PrimeField, ntt: NegacyclicNtt, gadget: SignedGadge
             dn[:, :, :, None, :], k_i[..., None], k_sh_i[..., None]
         )
         p = field.reduce(
-            prod.sum(axis=(1, 2)), field.bits + (2 * gadget.d).bit_length() + 1
+            field._up(prod).sum(axis=(1, 2)),
+            field.bits + (2 * gadget.d).bit_length() + 1,
         )  # (N, 2, B)
-        # multiply by NTT(X^{a_i} - 1) via the 2N-entry twiddle table
-        e = (orders[:, None] * a_i[None, :]) % two_n  # (N, B)
-        p = field.mul_shoup(p, mono_tab[e][:, None, :], mono_tab_sh[e][:, None, :])
+        mono = monomial_minus_one(a_i)  # (N, B)
+        p = field.mul(p, mono[:, None, :])
         return field.add(acc, ntt.inv(p))
 
     def blind_rotate(acc, amounts, bsk, bsk_sh):

@@ -45,7 +45,7 @@ def _factorize(n: int) -> list[int]:
 class SmallFieldNtt:
     """Mixed-radix negacyclic NTT (same interface as NegacyclicNtt)."""
 
-    def __init__(self, field: PrimeField, n: int):
+    def __init__(self, field: PrimeField, n: int, radices: list[int] | None = None):
         assert n & (n - 1) == 0
         assert 2 * field.bits + 4 <= 62, "raw-product DFT needs q < 2^29"
         self.field = field
@@ -54,7 +54,14 @@ class SmallFieldNtt:
         psi = field.find_primitive_root_of_unity(2 * n)
         self.psi = psi
         self.n_inv = field.inv(n)
-        self.radices = _factorize(n)
+        if radices is None:
+            radices = _factorize(n)
+        else:
+            prod = 1
+            for r in radices:
+                prod *= r
+            assert prod == n, (radices, n)
+        self.radices = radices
 
         self._fwd_plan = self._build_plan(inverse=False)
         self._inv_plan = self._build_plan(inverse=True)
