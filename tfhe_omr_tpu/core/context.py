@@ -22,7 +22,33 @@ from tfhe_omr_tpu.ops.ntt_smallfield import SmallFieldNtt
 
 
 def make_ntt(field: PrimeField, n: int):
-    """Pick the fastest exact NTT implementation for the field width."""
+    """Pick the fastest exact NTT implementation for the field width.
+
+    Fields below 2^27 with a square-factorable ring use the fused Pallas
+    digit-matmul kernel on TPU (with an identical-ordering jnp fallback off
+    TPU); other small fields use the mixed-radix jnp path; wide fields use
+    the radix-2 path.
+    """
+    import os
+
+    if (
+        field.bits <= 27
+        and n >= 1024
+        and n % 32 == 0
+        and os.environ.get("TFHE_OMR_NO_PALLAS") != "1"
+    ):
+        from tfhe_omr_tpu.ops.pallas_ntt import PallasNtt
+
+        return PallasNtt(field, n)
+    if (
+        field.bits == 50
+        and n >= 1024
+        and n % 32 == 0
+        and os.environ.get("TFHE_OMR_NO_PALLAS") != "1"
+    ):
+        from tfhe_omr_tpu.ops.pallas_ntt import PallasNtt50
+
+        return PallasNtt50(field, n)
     if 2 * field.bits + 4 <= 62 and n >= 32:
         return SmallFieldNtt(field, n)
     return NegacyclicNtt(field, n)

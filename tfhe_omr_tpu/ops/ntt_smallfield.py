@@ -42,6 +42,63 @@ def _factorize(n: int) -> list[int]:
     return out
 
 
+def build_mixed_radix_plan(field, n: int, radices, psi: int, inverse: bool):
+    """Per-level (dft_matrix, twiddle, r, m_l, pre) for a mixed-radix NTT.
+
+    Forward, x viewed as (r_0, ..., r_{L-1}) with flat index
+    i = sum_l i_l * s_l, s_l = prod_{j>l} r_j:
+
+      level l: DFT_{r_l} along axis l with root w_l, then twiddle
+      T_l[k_l, j] = wc_l^(k_l * j) over the remaining flat index j in [m_l),
+      where wc_l = omega^(prod_{j<l} r_j) and w_l = wc_l^(m_l); the psi-twist
+      psi^(i_l * s_l) is folded into the matrix columns of level l.
+
+    Inverse runs levels L-1..0, applying the conjugate twiddle before the
+    inverse matrix; the un-twist is folded into matrix rows and the full 1/N
+    into level 0's matrix. Shared by the jnp and Pallas implementations
+    (matrices are exact host Python-int arithmetic, any field width).
+    """
+    q = field.q
+    psi_t = field.inv(psi) if inverse else psi
+    omega_t = psi_t * psi_t % q
+
+    rads = list(radices)
+    L = len(rads)
+    s = [1] * L
+    for l in range(L - 2, -1, -1):
+        s[l] = s[l + 1] * rads[l + 1]
+    m = s  # m_l == prod_{j>l} r_j == stride of axis l
+
+    plan = []
+    pre = 1  # prod_{j<l} r_j
+    n_inv = field.inv(n)
+    for l, r in enumerate(rads):
+        wc = pow(omega_t, pre, q)  # primitive (r*m_l)-th root
+        w_l = pow(wc, m[l], q)  # primitive r-th root
+        # object dtype: products of ~50-bit entries would overflow int64
+        mat = np.empty((r, r), dtype=object)
+        for k in range(r):
+            for i in range(r):
+                mat[k, i] = pow(w_l, (k * i) % r, q)
+        if not inverse:
+            for i in range(r):
+                mat[:, i] = mat[:, i] * pow(psi_t, i * s[l], q) % q
+        else:
+            for i in range(r):
+                mat[i, :] = mat[i, :] * pow(psi_t, i * s[l], q) % q
+            if l == 0:
+                mat = mat * n_inv % q
+        mat = mat.astype(np.int64)
+        tw = None
+        if m[l] > 1:
+            tw = np.empty((r, m[l]), dtype=np.int64)
+            for k in range(r):
+                tw[k, :] = [pow(wc, k * j, q) for j in range(m[l])]
+        plan.append((mat, tw, r, m[l], pre))
+        pre *= r
+    return plan
+
+
 class SmallFieldNtt:
     """Mixed-radix negacyclic NTT (same interface as NegacyclicNtt)."""
 
@@ -88,65 +145,9 @@ class SmallFieldNtt:
 
     # ------------------------------------------------------------------ plan
     def _build_plan(self, inverse: bool):
-        """Per-level (dft_matrix, twiddle, shape info).
-
-        Forward, x viewed as (r_0, ..., r_{L-1}) with flat index
-        i = sum_l i_l * s_l, s_l = prod_{j>l} r_j:
-
-          level l: DFT_{r_l} along axis l with root w_l, then twiddle
-          T_l[k_l, j] = wc_l^(k_l * j) over the remaining flat index
-          j in [m_l), where wc_l = omega^(prod_{j<l} r_j) and
-          w_l = wc_l^(m_l); the psi-twist psi^(i_l * s_l) is folded into the
-          matrix columns of level l.
-
-        Inverse runs levels L-1..0, applying the conjugate twiddle before the
-        inverse matrix; the un-twist is folded into matrix rows and the full
-        1/N into level 0's matrix.
-        """
-        f = self.field
-        q = f.q
-        n = self.n
-        psi_t = f.inv(self.psi) if inverse else self.psi
-        omega_t = psi_t * psi_t % q
-
-        # strides and sub-lengths
-        rads = self.radices
-        L = len(rads)
-        s = [1] * L
-        for l in range(L - 2, -1, -1):
-            s[l] = s[l + 1] * rads[l + 1]
-        m = s  # m_l == prod_{j>l} r_j == stride of axis l
-
-        plan = []
-        pre = 1  # prod_{j<l} r_j
-        for l, r in enumerate(rads):
-            wc = pow(omega_t, pre, q)  # primitive (r*m_l)-th root
-            w_l = pow(wc, m[l], q)  # primitive r-th root
-            mat = np.empty((r, r), dtype=np.int64)
-            for k in range(r):
-                for i in range(r):
-                    mat[k, i] = pow(w_l, (k * i) % r, q)
-            if not inverse:
-                # fold psi^(i_l * s_l) into columns
-                for i in range(r):
-                    mat[:, i] = mat[:, i] * pow(psi_t, i * s[l], q) % q
-            else:
-                # inverse matrix: (1/r) * conj — here omega_t is already the
-                # inverse root so mat is the conjugate Vandermonde; fold the
-                # 1/r scales as one global 1/N into level 0, and the un-twist
-                # psi^(-i_l*s_l) into rows (output index axis)
-                for i in range(r):
-                    mat[i, :] = mat[i, :] * pow(psi_t, i * s[l], q) % q
-                if l == 0:
-                    mat = mat * self.n_inv % q
-            tw = None
-            if m[l] > 1:
-                tw = np.empty((r, m[l]), dtype=np.int64)
-                for k in range(r):
-                    tw[k, :] = [pow(wc, k * j, q) for j in range(m[l])]
-            plan.append((mat, tw, r, m[l], pre))
-            pre *= r
-        return plan
+        return build_mixed_radix_plan(
+            self.field, self.n, self.radices, self.psi, inverse
+        )
 
     # ---------------------------------------------------------------- device
     def _dft_level(self, x, mat, r, batch_shape):

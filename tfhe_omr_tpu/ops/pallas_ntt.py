@@ -56,7 +56,7 @@ class PallasNtt:
         field: PrimeField,
         n: int,
         r: int = 32,
-        tile: int = 512,
+        tile: int = 256,
         interpret: bool = False,
     ):
         assert field.bits <= 27, "int32 Horner recombination needs q < 2^27"
@@ -181,23 +181,29 @@ class PallasNtt:
                 kernel,
                 out_shape=jax.ShapeDtypeStruct(x.shape, jnp.int32),
                 grid=(x.shape[1] // tile,),
+                # index maps cast to int32: Mosaic rejects the i64 indices
+                # produced under jax_enable_x64
                 in_specs=[
                     pl.BlockSpec(
-                        w0.shape, lambda i: (0,) * w0.ndim,
+                        w0.shape,
+                        lambda i: (jnp.int32(0),) * w0.ndim,
                         memory_space=pltpu.VMEM,
                     ),
                     pl.BlockSpec(
-                        w1.shape, lambda i: (0,) * w1.ndim,
+                        w1.shape,
+                        lambda i: (jnp.int32(0),) * w1.ndim,
                         memory_space=pltpu.VMEM,
                     ),
                     pl.BlockSpec(
                         (n_, tile),
-                        lambda i: (0, i),
+                        lambda i: (jnp.int32(0), i.astype(jnp.int32)),
                         memory_space=pltpu.VMEM,
                     ),
                 ],
                 out_specs=pl.BlockSpec(
-                    (n_, tile), lambda i: (0, i), memory_space=pltpu.VMEM
+                    (n_, tile),
+                    lambda i: (jnp.int32(0), i.astype(jnp.int32)),
+                    memory_space=pltpu.VMEM,
                 ),
                 interpret=self.interpret,
             )(w0, w1, x.astype(jnp.int32))
@@ -206,7 +212,19 @@ class PallasNtt:
         return call
 
     # ------------------------------------------------------------- interface
+    def _pallas_ok(self) -> bool:
+        """Use the kernel only when dispatching to a non-CPU backend (the
+        eager keygen path is pinned to CPU via utils.devices.host_math)."""
+        if self.interpret:
+            return True
+        dev = jax.config.jax_default_device
+        if dev is None:
+            dev = jax.devices()[0]
+        return getattr(dev, "platform", "cpu") != "cpu"
+
     def fwd(self, x):
+        if not self._pallas_ok():
+            return self.ref.fwd(x)
         batch = x.shape[1:]
         flat = 1
         for s in batch:
@@ -215,6 +233,8 @@ class PallasNtt:
         return out.reshape((self.n,) + batch)
 
     def inv(self, x):
+        if not self._pallas_ok():
+            return self.ref.inv(x)
         batch = x.shape[1:]
         flat = 1
         for s in batch:
@@ -233,3 +253,322 @@ class PallasNtt:
 
     def monomial_exponents(self, a):
         return self.ref.monomial_exponents(a)
+
+
+class PallasNtt50:
+    """Two-level digit-matmul NTT for wide fields (q up to 2^50), Pallas TPU.
+
+    Mosaic has no int64, so field elements cross the kernel boundary as two
+    int32 limbs (lo = x & (2^25-1), hi = x >> 25) and the in-kernel Horner
+    recombination runs on (lo, hi) pairs in radix 2^25 with Solinas folds
+    (2^50 == eps mod q). Data digit planes: 3 x 7-bit from bits 0..20 plus
+    5 x 7-bit from bits 21.. — a uniform 2^7 weight grid with 15 groups.
+
+    Ordering equals the shared mixed-radix plan; off TPU the class falls back
+    to a radix-2 NegacyclicNtt composed with the static permutation that maps
+    between the two evaluation orders (bit-identical values).
+    """
+
+    def __init__(
+        self,
+        field: PrimeField,
+        n: int,
+        r: int = 32,
+        tile: int = 128,
+        x_chunk: int = 2048,
+        interpret: bool = False,
+    ):
+        assert field.bits == 50, "dual-limb Solinas folds assume q = 2^50 - eps"
+        from tfhe_omr_tpu.ops.ntt import NegacyclicNtt
+        from tfhe_omr_tpu.ops.ntt_smallfield import build_mixed_radix_plan
+
+        c = n // r
+        self.field = field
+        self.n = n
+        self.r = r
+        self.c = c
+        self.tile = tile
+        self.x_chunk = x_chunk
+        self.interpret = interpret
+        self.levels = 8  # data/matrix digit planes (7-bit)
+        self.ref2 = NegacyclicNtt(field, n)
+        self.psi = self.ref2.psi
+        self.n_inv = self.ref2.n_inv
+        self._psi_pow_2n = self.ref2._psi_pow_2n
+        q = field.q
+
+        fwd_plan = build_mixed_radix_plan(field, n, [r, c], self.psi, False)
+        inv_plan = build_mixed_radix_plan(field, n, [r, c], self.psi, True)
+        mat0_f, tw0_f = fwd_plan[0][0], fwd_plan[0][1]
+        mat1_f = fwd_plan[1][0]
+        mat0_i, tw0_i = inv_plan[0][0], inv_plan[0][1]
+        mat1_i = inv_plan[1][0]
+
+        def fold_obj(m1, tw, by_rows):
+            m1o = m1.astype(object)
+            out = []
+            for k0 in range(r):
+                t = tw[k0].astype(object)
+                out.append(
+                    (m1o * (t[:, None] if by_rows else t[None, :])) % q
+                )
+            return np.stack([o.astype(np.int64) for o in out])
+
+        w1k_f = fold_obj(mat1_f, tw0_f, by_rows=False)
+        w1k_i = fold_obj(mat1_i, tw0_i, by_rows=True)
+        self._w0_f = jnp.asarray(_digit_plane_stack(mat0_f, self.levels))
+        self._w1_f = jnp.asarray(
+            np.stack(
+                [_digit_plane_stack(w1k_f[k0], self.levels) for k0 in range(r)]
+            )
+        )
+        self._w0_i = jnp.asarray(_digit_plane_stack(mat0_i, self.levels))
+        self._w1_i = jnp.asarray(
+            np.stack(
+                [_digit_plane_stack(w1k_i[k0], self.levels) for k0 in range(r)]
+            )
+        )
+
+        # two-level evaluation orders via exact host evaluation of delta_1,
+        # and the permutation to/from the radix-2 reference ordering
+        delta = np.zeros(n, dtype=object)
+        delta[1] = 1
+        col = self._host_apply(delta, fwd_plan)
+        dlog = {int(self._psi_pow_2n[i]): i for i in range(2 * n)}
+        self.orders = np.array([dlog[int(v)] for v in col], dtype=np.int64)
+        ref_pos = {int(o): i for i, o in enumerate(self.ref2.orders)}
+        self._perm = np.array(
+            [ref_pos[int(o)] for o in self.orders], dtype=np.int64
+        )
+        self._perm_inv = np.argsort(self._perm)
+
+        self._fwd_call = self._make_call(inverse=False)
+        self._inv_call = self._make_call(inverse=True)
+
+    # ------------------------------------------------------------------ host
+    def _host_apply(self, x_obj, plan):
+        """Exact object-int application of the two-level plan to one column."""
+        q = self.field.q
+        r, c = self.r, self.c
+        mat0, tw0 = plan[0][0], plan[0][1]
+        mat1 = plan[1][0]
+        xv = x_obj.reshape(r, c)
+        a = (mat0.astype(object) @ xv) % q  # (r, c)
+        a = (a * tw0.astype(object)) % q
+        out = np.empty((r, c), dtype=object)
+        for k0 in range(r):
+            out[k0] = (mat1.astype(object) @ a[k0]) % q
+        return out.reshape(r * c)
+
+    # ---------------------------------------------------------------- kernel
+    def _digit_planes(self, lo, hi):
+        """8 int8 planes from 25-bit limbs (21-bit digit alignment)."""
+        lo21 = lo & jnp.int32((1 << 21) - 1)
+        hi21 = (hi << 4) | (lo >> 21)  # bits 21.. (< 2^29)
+        planes = []
+        for a in range(3):
+            planes.append(
+                ((lo21 >> (7 * a)) & jnp.int32(DIGIT_MASK)).astype(jnp.int8)
+            )
+        for a in range(5):
+            planes.append(
+                ((hi21 >> (7 * a)) & jnp.int32(DIGIT_MASK)).astype(jnp.int8)
+            )
+        return planes
+
+    def _level_dot50(self, lo, hi, w_planes, out_rows):
+        """(lo, hi) (rows, X) int32 -> (lo, hi) (out_rows, X) mod q."""
+        f = self.field
+        q = f.q
+        eps = f.eps
+        m25 = jnp.int32((1 << 25) - 1)
+        m18 = jnp.int32((1 << 18) - 1)
+        levels = self.levels
+        n_groups = 2 * levels - 1
+        planes = self._digit_planes(lo, hi)
+        s_groups = [None] * n_groups
+        for a in range(levels):
+            p = jax.lax.dot_general(
+                w_planes,
+                planes[a],
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )
+            for b in range(levels):
+                s = a + b
+                blk = p[b * out_rows : (b + 1) * out_rows]
+                s_groups[s] = blk if s_groups[s] is None else s_groups[s] + blk
+        # dual-word Horner in radix 2^25: value = ahi*2^25 + alo
+        alo = s_groups[n_groups - 1]
+        ahi = jnp.zeros_like(alo)
+        for s in range(n_groups - 2, -1, -1):
+            lo2 = ((alo & m18) << 7) + (ahi >> 18) * jnp.int32(eps)
+            hi2 = ((ahi & m18) << 7) + (alo >> 18)
+            lo2 = lo2 + s_groups[s]
+            carry = lo2 >> 25
+            alo = lo2 & m25
+            ahi = hi2 + carry
+            over = ahi >> 25
+            ahi = ahi & m25
+            alo = alo + over * jnp.int32(eps)
+        # normalise and reduce below q
+        ahi = ahi + (alo >> 25)
+        alo = alo & m25
+        alo = alo + (ahi >> 25) * jnp.int32(eps)
+        ahi = ahi & m25
+        ahi = ahi + (alo >> 25)
+        alo = alo & m25
+        q_lo = jnp.int32(q & ((1 << 25) - 1))
+        q_hi = jnp.int32(q >> 25)
+        for _ in range(2):
+            ge = (ahi > q_hi) | ((ahi == q_hi) & (alo >= q_lo))
+            borrow = ((alo < q_lo) & ge).astype(jnp.int32)
+            gei = ge.astype(jnp.int32)
+            alo = alo - gei * q_lo + (borrow << 25)
+            ahi = ahi - gei * q_hi - borrow
+        return alo, ahi
+
+    def _make_call(self, inverse: bool):
+        n, r, c = self.n, self.r, self.c
+        w0 = self._w0_i if inverse else self._w0_f
+        w1 = self._w1_i if inverse else self._w1_f
+        xc = self.x_chunk
+
+        def level0(lo, hi, w0k, X):
+            """chunked over the X axis to bound VMEM."""
+            outs = []
+            for s in range(0, X, xc):
+                e = min(X, s + xc)
+                outs.append(
+                    self._level_dot50(lo[:, s:e], hi[:, s:e], w0k, r)
+                )
+            alo = jnp.concatenate([o[0] for o in outs], axis=1)
+            ahi = jnp.concatenate([o[1] for o in outs], axis=1)
+            return alo, ahi
+
+        def kernel(w0_ref, w1_ref, x_ref, o_ref):
+            bt = x_ref.shape[2]
+            lo = x_ref[0]
+            hi = x_ref[1]
+            w0k = w0_ref[:]
+            w1k = w1_ref[:]
+            if inverse:
+                lo_v = lo.reshape(r, c, bt)
+                hi_v = hi.reshape(r, c, bt)
+                lo_o, hi_o = [], []
+                for k0 in range(r):
+                    a, b = self._level_dot50(lo_v[k0], hi_v[k0], w1k[k0], c)
+                    lo_o.append(a)
+                    hi_o.append(b)
+                lo1 = jnp.stack(lo_o, axis=0).reshape(r, c * bt)
+                hi1 = jnp.stack(hi_o, axis=0).reshape(r, c * bt)
+                zlo, zhi = level0(lo1, hi1, w0k, c * bt)
+                o_ref[0] = zlo.reshape(n, bt)
+                o_ref[1] = zhi.reshape(n, bt)
+            else:
+                alo, ahi = level0(
+                    lo.reshape(r, c * bt), hi.reshape(r, c * bt), w0k, c * bt
+                )
+                lo_v = alo.reshape(r, c, bt)
+                hi_v = ahi.reshape(r, c, bt)
+                lo_o, hi_o = [], []
+                for k0 in range(r):
+                    a, b = self._level_dot50(lo_v[k0], hi_v[k0], w1k[k0], c)
+                    lo_o.append(a)
+                    hi_o.append(b)
+                o_ref[0] = jnp.stack(lo_o, axis=0).reshape(n, bt)
+                o_ref[1] = jnp.stack(hi_o, axis=0).reshape(n, bt)
+
+        def call(x):
+            n_, b = x.shape
+            tile = min(self.tile, b)
+            pad = (-b) % tile
+            if pad:
+                x = jnp.concatenate([x, jnp.zeros((n_, pad), x.dtype)], axis=1)
+            limbs = jnp.stack(
+                [
+                    (x & jnp.int64((1 << 25) - 1)).astype(jnp.int32),
+                    (x >> 25).astype(jnp.int32),
+                ]
+            )  # (2, N, B)
+            out = pl.pallas_call(
+                kernel,
+                out_shape=jax.ShapeDtypeStruct(limbs.shape, jnp.int32),
+                grid=(limbs.shape[2] // tile,),
+                in_specs=[
+                    pl.BlockSpec(
+                        w0.shape,
+                        lambda i: (jnp.int32(0),) * w0.ndim,
+                        memory_space=pltpu.VMEM,
+                    ),
+                    pl.BlockSpec(
+                        w1.shape,
+                        lambda i: (jnp.int32(0),) * w1.ndim,
+                        memory_space=pltpu.VMEM,
+                    ),
+                    pl.BlockSpec(
+                        (2, n_, tile),
+                        lambda i: (jnp.int32(0), jnp.int32(0), i.astype(jnp.int32)),
+                        memory_space=pltpu.VMEM,
+                    ),
+                ],
+                out_specs=pl.BlockSpec(
+                    (2, n_, tile),
+                    lambda i: (jnp.int32(0), jnp.int32(0), i.astype(jnp.int32)),
+                    memory_space=pltpu.VMEM,
+                ),
+                interpret=self.interpret,
+            )(w0, w1, limbs)
+            val = out[0].astype(jnp.int64) + (out[1].astype(jnp.int64) << 25)
+            return val[:, :b] if pad else val
+
+        return call
+
+    # ------------------------------------------------------------- interface
+    def _pallas_ok(self) -> bool:
+        if self.interpret:
+            return True
+        dev = jax.config.jax_default_device
+        if dev is None:
+            dev = jax.devices()[0]
+        return getattr(dev, "platform", "cpu") != "cpu"
+
+    def _flat(self, x):
+        batch = x.shape[1:]
+        flat = 1
+        for s in batch:
+            flat *= s
+        return x.reshape(self.n, flat), batch
+
+    def fwd(self, x):
+        if not self._pallas_ok():
+            perm = jnp.asarray(self._perm)
+            return self.ref2.fwd(x)[perm]
+        xf, batch = self._flat(x)
+        return self._fwd_call(xf).reshape((self.n,) + batch)
+
+    def inv(self, x):
+        if not self._pallas_ok():
+            perm_inv = jnp.asarray(self._perm_inv)
+            return self.ref2.inv(x[perm_inv])
+        xf, batch = self._flat(x)
+        return self._inv_call(xf).reshape((self.n,) + batch)
+
+    def fwd_last(self, x):
+        return jnp.moveaxis(self.fwd(jnp.moveaxis(x, -1, 0)), 0, -1)
+
+    def inv_last(self, x):
+        return jnp.moveaxis(self.inv(jnp.moveaxis(x, -1, 0)), 0, -1)
+
+    def monomial_minus_one_tables(self):
+        q = self.field.q
+        sd = self.field.storage_dtype
+        vals = (self._psi_pow_2n - 1) % q
+        return (
+            jnp.asarray(vals, dtype=sd),
+            jnp.asarray(self.field.shoup(vals), dtype=sd),
+        )
+
+    def monomial_exponents(self, a):
+        orders = jnp.asarray(self.orders).reshape((self.n,) + (1,) * a.ndim)
+        return (orders * a[None]) % (2 * self.n)
