@@ -40,10 +40,10 @@ def main():
     compile_s = time.perf_counter() - t0
 
     times = []
+    stages = None
     for _ in range(reps):
         t0 = time.perf_counter()
-        out = detector.detect(clues)
-        jax.block_until_ready(out)
+        out, stages = detector.detect_with_time_info(clues)
         times.append(time.perf_counter() - t0)
     best = min(times)
     msgs_per_sec = batch / best
@@ -63,6 +63,16 @@ def main():
                     "batch": batch,
                     "best_batch_seconds": round(best, 3),
                     "ms_per_message": round(1000.0 * best / batch, 3),
+                    "stage_ms_per_message": {
+                        "first_level": round(
+                            1e3 * stages.first_level_bootstrapping_time / batch, 2
+                        ),
+                        "second_level": round(
+                            1e3 * stages.second_level_bootstrapping_time / batch,
+                            2,
+                        ),
+                        "trace": round(1e3 * stages.trace_time / batch, 2),
+                    },
                     "keygen_seconds": round(keygen_s, 1),
                     "compile_seconds": round(compile_s, 1),
                     "device": str(jax.devices()[0]),

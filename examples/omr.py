@@ -34,6 +34,8 @@ def main():
                     help="shard over all available devices")
     ap.add_argument("--csv", type=str, default=None,
                     help="write a timing record CSV")
+    ap.add_argument("--profile", type=str, default=None,
+                    help="write a jax.profiler trace to this directory")
     args = ap.parse_args()
 
     logging.basicConfig(
@@ -97,6 +99,8 @@ def main():
         runner = ShardedDetector(detector, make_data_mesh())
 
     log.info("detecting...")
+    if args.profile:
+        jax.profiler.start_trace(args.profile)
     t0 = time.perf_counter()
     chunks = []
     bsz = args.batch
@@ -115,6 +119,9 @@ def main():
     import jax as _jax
 
     pertinency = np.concatenate(chunks)
+    if args.profile:
+        jax.profiler.stop_trace()
+        log.info("profiler trace written to %s", args.profile)
     rec.detect_time = time.perf_counter() - t0
     rec.detect_time_per_message = rec.detect_time / all_count
     log.info("detect time: %.3fs (%.2f ms/msg, %.1f msg/s)",
