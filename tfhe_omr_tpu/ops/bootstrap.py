@@ -55,34 +55,40 @@ def make_blind_rotate(field: PrimeField, ntt: NegacyclicNtt, gadget: SignedGadge
         for j in range(log2n)
     ]
 
-    def monomial_minus_one(a_i):
-        """(N, B) values ``NTT(X^a - 1)[k] = psi^(a_m * o_k) - 1``, computed
-        gather-free: XLA TPU gathers are element-serial and a (N, B) lookup
-        in the psi-power table dominated the whole CMUX step (62%).
+    def square_chains(amounts):
+        """(log2n, n_steps, B) table sq[j, i, m] = psi^(a[i, m] * 2^j).
 
-        base[m] = psi^(a_m) by square-and-multiply over the bits of a_m
-        (constant multipliers); sq_j[m] = base^(2^j) by repeated squaring;
-        mono[k, m] = prod over the STATIC bits of o_k of sq_j[m].
+        Hoisted out of the CMUX loop: base = psi^a via square-and-multiply
+        over the bits of a (constant multipliers, gather-free — XLA TPU
+        gathers are element-serial and a (N, B) psi-table lookup dominated
+        the whole CMUX step at 62%), then repeated squaring.
         """
-        one = jnp.ones(a_i.shape, dtype=field.storage_dtype)
+        one = jnp.ones(amounts.shape, dtype=field.storage_dtype)
         base = one
         for j in range(log2n):
-            bit = ((a_i >> j) & 1).astype(bool)
+            bit = ((amounts >> j) & 1).astype(bool)
             stepped = field.mul_shoup(
                 base, jnp.int64(psi_pows2[j]), jnp.int64(psi_pows2_sh[j])
             )
             base = jnp.where(bit, stepped, base)
-        mono = None
-        sq = base
-        for j in range(log2n):
-            if j > 0:
-                sq = field.mul(sq, sq)
-            term = jnp.where(order_bits[j][:, None], sq[None, :], one[None, :])
-            mono = term if mono is None else field.mul(mono, term)
-        return field.sub(mono, one)
+        sqs = [base]
+        for j in range(1, log2n):
+            sqs.append(field.mul(sqs[-1], sqs[-1]))
+        return jnp.stack(sqs)
 
-    def step(i, acc, amounts, bsk, bsk_sh):
-        a_i = jax.lax.dynamic_index_in_dim(amounts, i, axis=0, keepdims=False)
+    def monomial_minus_one(sq_i):
+        """(N, B) values ``NTT(X^a - 1)[k] = psi^(a_m * o_k) - 1`` from the
+        per-step square chain sq_i (log2n, B): product over the STATIC bits
+        of the evaluation orders o_k."""
+        one = jnp.ones((1, sq_i.shape[1]), dtype=field.storage_dtype)
+        mono = None
+        for j in range(log2n):
+            term = jnp.where(order_bits[j][:, None], sq_i[j][None, :], one)
+            mono = term if mono is None else field.mul(mono, term)
+        return field.sub(mono, jnp.ones((), dtype=field.storage_dtype))
+
+    def step(i, acc, sq_all, bsk, bsk_sh):
+        sq_i = jax.lax.dynamic_index_in_dim(sq_all, i, axis=1, keepdims=False)
         k_i = jax.lax.dynamic_index_in_dim(bsk, i, axis=0, keepdims=False)
         k_sh_i = jax.lax.dynamic_index_in_dim(bsk_sh, i, axis=0, keepdims=False)
 
@@ -97,17 +103,18 @@ def make_blind_rotate(field: PrimeField, ntt: NegacyclicNtt, gadget: SignedGadge
             field._up(prod).sum(axis=(1, 2)),
             field.bits + (2 * gadget.d).bit_length() + 1,
         )  # (N, 2, B)
-        mono = monomial_minus_one(a_i)  # (N, B)
+        mono = monomial_minus_one(sq_i)  # (N, B)
         p = field.mul(p, mono[:, None, :])
         return field.add(acc, ntt.inv(p))
 
     def blind_rotate(acc, amounts, bsk, bsk_sh):
         acc = acc.astype(field.storage_dtype)
         n_lwe = amounts.shape[0]
+        sq_all = square_chains(amounts)  # (log2n, n_steps, B)
         return jax.lax.fori_loop(
             0,
             n_lwe,
-            lambda i, a: step(i, a, amounts, bsk, bsk_sh),
+            lambda i, a: step(i, a, sq_all, bsk, bsk_sh),
             acc,
         )
 

@@ -275,7 +275,7 @@ class PallasNtt50:
         n: int,
         r: int = 32,
         tile: int = 128,
-        x_chunk: int = 2048,
+        x_chunk: int = 1024,
         interpret: bool = False,
     ):
         assert field.bits == 50, "dual-limb Solinas folds assume q = 2^50 - eps"
