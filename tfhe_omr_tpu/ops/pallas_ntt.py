@@ -517,6 +517,9 @@ class PallasNtt50:
                     lambda i: (jnp.int32(0), jnp.int32(0), i.astype(jnp.int32)),
                     memory_space=pltpu.VMEM,
                 ),
+                compiler_params=pltpu.CompilerParams(
+                    vmem_limit_bytes=64 * 1024 * 1024
+                ),
                 interpret=self.interpret,
             )(w0, w1, limbs)
             val = out[0].astype(jnp.int64) + (out[1].astype(jnp.int64) << 25)
