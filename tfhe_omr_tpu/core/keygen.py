@@ -308,6 +308,21 @@ class SecretKeyPack:
         return Retriever(rp, self.ctx, self.z2_ntt)
 
     # ---------------------------------------------------------- decryption
+    def size_bytes(self) -> int:
+        """Secret material byte count (counterpart of the ``Size`` impl,
+        reference ``key_gen/secret.rs:279-289``: clue + z1 + s2 + z2)."""
+        p = self.params
+        return (
+            p.clue_params.dimension * 2
+            + p.n1 * 4
+            + p.intermediate_lwe.dimension * 2
+            + p.n2 * 8
+        )
+
+    def z2_size(self) -> int:
+        """z2 key size in bytes (``secret.rs`` ``z2_size``)."""
+        return self.params.n2 * 8
+
     def decrypt_clue(self, a_vec: np.ndarray, b: np.ndarray) -> np.ndarray:
         """Decrypt extracted clue LWE ciphertext(s) to Z_t (tests only)."""
         p = self.params.clue_params

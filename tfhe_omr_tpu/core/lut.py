@@ -18,11 +18,15 @@ def negacyclic_lut(values, coeff_count: int, log_t: int) -> np.ndarray:
 
     Mirrors ``lut.rs:29-44``: chunks of ``half_delta = N >> log_t`` filled
     with the sequence v0, v1, v1, v2, v2, ... (interleave of values with
-    values[1:]), truncated to ``2**log_t`` chunks.
+    values[1:]), truncated to ``2**log_t`` chunks. ``values`` may also be a
+    callable f(i) -> value over i in [0, 2**log_t) (counterpart of the
+    ``Fn(usize)`` impl at ``lut.rs:46-65``).
     """
     half_delta = coeff_count >> log_t
     n_chunks = 1 << log_t
     seq = []
+    if callable(values):
+        values = [values(i) for i in range(n_chunks)]
     vals = list(values)
     tail = vals[1:]
     for i in range(max(len(vals), len(tail)) * 2):
