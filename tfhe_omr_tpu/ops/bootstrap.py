@@ -157,11 +157,12 @@ def make_lwe_keyswitch(field: PrimeField, digits: int, n_out: int):
     ``NonPowOf2LweKeySwitchingKey::key_switch`` (``detector.rs:560-563``).
     """
     limbs = -(-field.bits // 7)
-    shifts = jnp.arange(digits, dtype=jnp.int64)
+    shifts = jnp.arange(digits, dtype=jnp.int32)
 
     def keyswitch(a_vec, b, ksk_limbs):
         bsz, n_in = a_vec.shape
-        bits = ((a_vec[:, :, None] >> shifts) & 1).astype(jnp.int8)
+        a32 = a_vec.astype(jnp.int32)
+        bits = ((a32[:, :, None] >> shifts) & 1).astype(jnp.int8)
         bits = bits.reshape(bsz, n_in * digits)
         acc = jnp.zeros((bsz, n_out + 1), dtype=jnp.int64)
         for k in range(limbs):
