@@ -35,6 +35,7 @@ from tfhe_omr_tpu.ops.bootstrap import (
     init_accumulator,
     lwe_modulus_switch,
     make_blind_rotate,
+    make_fused_blind_rotate,
     make_lwe_keyswitch,
     make_trace,
 )
@@ -85,6 +86,16 @@ class Detector:
         # b += clue_count * Delta_inter (reference ``detector.rs:580-594``)
         inter_offset = clue_count * (q_inter // t_inter)
 
+        import os
+
+        use_fused = (
+            os.environ.get("TFHE_OMR_FUSED", "0") == "1"
+            and self.key.bsk1_planes is not None
+            and hasattr(ntt1, "_w0_f")
+        )
+        self._use_fused = use_fused
+        if use_fused:
+            br1_fused = make_fused_blind_rotate(f1, ntt1, ctx.gadget_br1)
         br1 = make_blind_rotate(f1, ntt1, ctx.gadget_br1)
         br2 = make_blind_rotate(f2, ntt2, ctx.gadget_br2)
         ks = make_lwe_keyswitch(f1, p.first_level_ks.digits, p.first_level_ks.out_dimension)
@@ -103,7 +114,7 @@ class Detector:
         assert q0 == 2 * n1, "clue modulus must equal 2*N1"
         assert q_inter == 2 * n2
 
-        def stage1(clue_a, clue_b7, bsk1, bsk1_sh, ksk_limbs):
+        def stage1(clue_a, clue_b7, bsk1, bsk1_sh, ksk_limbs, bsk1_planes):
             """Extract + first-level bootstrapping + key switch + mod switch.
 
             Counterpart of ``extract_clues_and_modulus_switch`` +
@@ -120,7 +131,10 @@ class Detector:
             b1 = clue_b7.reshape(bsz * clue_count)
 
             acc = init_accumulator(f1, lut1_ext, b1, n1)
-            acc = br1(acc, amounts1, bsk1, bsk1_sh)
+            if use_fused:
+                acc = br1_fused(acc, amounts1, bsk1_planes)
+            else:
+                acc = br1(acc, amounts1, bsk1, bsk1_sh)
             # sum the 7 per-clue results (``detector.rs:556``)
             acc = f1.mod_sum(acc.reshape(n1, 2, bsz, clue_count), axis=3)
 
@@ -151,7 +165,8 @@ class Detector:
 
         def detect(clue_a, clue_b7, key: DetectionKey):
             ms_a, ms_b = stage1(
-                clue_a, clue_b7, key.bsk1, key.bsk1_sh, key.ksk_limbs
+                clue_a, clue_b7, key.bsk1, key.bsk1_sh, key.ksk_limbs,
+                key.bsk1_planes,
             )
             acc2 = stage2(ms_a, ms_b, key.bsk2, key.bsk2_sh)
             return stage3(acc2, key.trace_k, key.trace_k_sh)
@@ -181,7 +196,7 @@ class Detector:
         key = self.key
         ms_a, ms_b = self._stage1_jit(
             jnp.asarray(clues.a), jnp.asarray(clues.b7),
-            key.bsk1, key.bsk1_sh, key.ksk_limbs,
+            key.bsk1, key.bsk1_sh, key.ksk_limbs, key.bsk1_planes,
         )
         acc2 = self._stage2_jit(ms_a, ms_b, key.bsk2, key.bsk2_sh)
         return self._stage3_jit(acc2, key.trace_k, key.trace_k_sh)
@@ -195,7 +210,7 @@ class Detector:
         t0 = time.perf_counter()
         ms_a, ms_b = self._stage1_jit(
             jnp.asarray(clues.a), jnp.asarray(clues.b7),
-            key.bsk1, key.bsk1_sh, key.ksk_limbs,
+            key.bsk1, key.bsk1_sh, key.ksk_limbs, key.bsk1_planes,
         )
         jax.block_until_ready((ms_a, ms_b))
         t1 = time.perf_counter()

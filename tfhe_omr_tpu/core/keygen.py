@@ -31,13 +31,14 @@ class DetectionKey(NamedTuple):
     """Device arrays for the detector (counterpart of ``DetectionKey``,
     reference ``key_gen/detection.rs:9-16``). All NTT-domain, poly-major."""
 
-    bsk1: jnp.ndarray  # (n0, N1, d1, 2, 2) int64
+    bsk1: jnp.ndarray  # (n0, N1, d1, 2, 2) int32 (small field)
     bsk1_sh: jnp.ndarray
     ksk_limbs: jnp.ndarray  # (limbs, N1*ks_digits, n_int+1) int8
     bsk2: jnp.ndarray  # (n_int, N2, d2, 2, 2) int64
     bsk2_sh: jnp.ndarray
     trace_k: jnp.ndarray  # (rounds, N2, d_tr, 2) int64
     trace_k_sh: jnp.ndarray
+    bsk1_planes: jnp.ndarray | None = None  # (n0, L, N1, d1, 2, 2) int8
 
 
 class ClueKey(NamedTuple):
@@ -173,6 +174,24 @@ class SecretKeyPack:
                 rng,
             )
             trace_k, trace_k_sh = self._gen_trace_key(rng)
+            # int8 digit planes of BSK1 for the fused Pallas kernel
+            bsk1_planes = None
+            if c.f1.bits <= 27:
+                from tfhe_omr_tpu.ops.pallas_ntt import DIGIT_BITS, DIGIT_MASK
+
+                levels = -(-c.f1.bits // DIGIT_BITS)
+                b1 = np.asarray(bsk1)
+                bsk1_planes = jnp.asarray(
+                    np.stack(
+                        [
+                            ((b1 >> (DIGIT_BITS * k)) & DIGIT_MASK).astype(
+                                np.int8
+                            )
+                            for k in range(levels)
+                        ],
+                        axis=1,
+                    )
+                )
         return to_accelerator(DetectionKey(
             bsk1=bsk1,
             bsk1_sh=bsk1_sh,
@@ -181,6 +200,7 @@ class SecretKeyPack:
             bsk2_sh=bsk2_sh,
             trace_k=trace_k,
             trace_k_sh=trace_k_sh,
+            bsk1_planes=bsk1_planes,
         ))
 
     def _gen_bsk(self, lwe_sk, z_f, z_ntt, field, ntt, gadget, noise_std, rng):
