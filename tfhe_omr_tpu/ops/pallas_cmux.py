@@ -261,13 +261,13 @@ class FusedBlindRotate:
                     groups[s] = pprod if groups[s] is None else groups[s] + pprod
             p = self._horner(groups)  # (N, 2, Bt)
             # --- monomial multiply: mono = prod sq_j^(order_bit_j) - 1
-            sq_i = sq_ref[:]  # (log2n, 1, Bt) int32
+            sq_i = sq_ref[0]  # (log2n, Bt) int32
             ob = ob_ref[:]  # (log2n, N) int32 0/1
             mono = None
             one = jnp.ones((n, bt), dtype=jnp.int32)
             for j in range(log2n):
                 sel = ob[j][:, None]  # (N, 1)
-                term = sel * sq_i[j] + (1 - sel) * one  # (N, Bt)
+                term = sel * sq_i[j][None, :] + (1 - sel) * one  # (N, Bt)
                 mono = term if mono is None else self._elem_mul(mono, term)
             q32 = jnp.int32(self.field.q)
             mono = mono - 1
@@ -295,6 +295,9 @@ class FusedBlindRotate:
             bsk_planes (n_steps, L, N, d, 2, 2) int8 -> (N, 2, B) int32."""
             n_, _, b = acc.shape
             n_steps = sq_all.shape[1]
+            # Mosaic block constraint: put the step axis first so the last
+            # two block dims can satisfy the (8,128)/full-dim rule
+            sq_all = sq_all.transpose(1, 0, 2)  # (n_steps, log2n, B)
             tile = min(self.tile, b)
             assert b % tile == 0, (b, tile)
             i32 = jnp.int32
@@ -325,9 +328,9 @@ class FusedBlindRotate:
                         lambda i, s: (i32(0), i32(0), i.astype(jnp.int32)),
                         memory_space=pltpu.VMEM),
                     pl.BlockSpec(
-                        (self.log2n, 1, tile),
+                        (1, self.log2n, tile),
                         lambda i, s: (
-                            i32(0), s.astype(jnp.int32), i.astype(jnp.int32)
+                            s.astype(jnp.int32), i32(0), i.astype(jnp.int32)
                         ),
                         memory_space=pltpu.VMEM),
                     pl.BlockSpec(
