@@ -256,7 +256,7 @@ class FusedBlindRotate:
                 da = dnp[a].astype(jnp.int32)[..., None, :]  # (N,d,2,1,Bt)
                 for b in range(L):
                     kb = bskp[b].astype(jnp.int32)[..., None]  # (N,d,2,2,1)
-                    pprod = (da * kb).sum(axis=(1, 2))  # (N, 2, Bt)
+                    pprod = (da * kb).sum(axis=(1, 2), dtype=jnp.int32)  # (N, 2, Bt)
                     s = a + b
                     groups[s] = pprod if groups[s] is None else groups[s] + pprod
             p = self._horner(groups)  # (N, 2, Bt)
