@@ -54,7 +54,7 @@ class FusedBlindRotate:
         ntt: PallasNtt,
         d: int,
         log_b: int,
-        tile: int = 128,
+        tile: int = 64,
         interpret: bool = False,
     ):
         assert field.bits <= 27
