@@ -54,7 +54,7 @@ class FusedBlindRotate:
         ntt: PallasNtt,
         d: int,
         log_b: int,
-        tile: int = 64,
+        tile: int = 128,
         interpret: bool = False,
     ):
         assert field.bits <= 27
@@ -145,7 +145,7 @@ class FusedBlindRotate:
                 groups[s] = blk if groups[s] is None else groups[s] + blk
         return self._horner(groups)
 
-    def _ntt_fwd_digits(self, digs, w0, w1, x_chunk=8192):
+    def _ntt_fwd_digits(self, digs, w0, w1, x_chunk=4096):
         """Forward NTT of signed digit polys.
 
         digs: (N, M) int32 signed in [-B/2, B/2); returns (N, M) in [0, q).
@@ -172,7 +172,7 @@ class FusedBlindRotate:
             )
         return jnp.stack(out, axis=0).reshape(n, m)
 
-    def _ntt_inv(self, x, w0i, w1i, x_chunk=8192):
+    def _ntt_inv(self, x, w0i, w1i, x_chunk=4096):
         """Inverse NTT (full-range input), mirroring PallasNtt ordering."""
         n, r, c = self.n, self.r, self.c
         m = x.shape[1]
@@ -248,17 +248,31 @@ class FusedBlindRotate:
             # --- forward NTT of digits
             dn = self._ntt_fwd_digits(dstack, w0f_ref[:], w1f_ref[:])
             dn = dn.reshape(n, d, 2, bt)
-            # --- MAC with BSK planes: sum over (j, comp)
+            # --- MAC with BSK planes: sum over (j, comp). Fully scalarised
+            # over (j, comp, out) to keep VMEM liveness at (N, Bt) tiles —
+            # the broadcasted product tensor blew the 128MB VMEM budget.
             bskp = bsk_ref[0]  # (L, N, d, 2, 2) int8
-            groups = [None] * (2 * L - 1)
             dnp = self._planes(dn)  # L x (N, d, 2, Bt) int8
+            groups = [None] * (2 * L - 1)
             for a in range(L):
-                da = dnp[a].astype(jnp.int32)[..., None, :]  # (N,d,2,1,Bt)
                 for b in range(L):
-                    kb = bskp[b].astype(jnp.int32)[..., None]  # (N,d,2,2,1)
-                    pprod = (da * kb).sum(axis=(1, 2), dtype=jnp.int32)  # (N, 2, Bt)
                     s = a + b
-                    groups[s] = pprod if groups[s] is None else groups[s] + pprod
+                    outs_o = []
+                    for o in range(2):
+                        acc_o = None
+                        for j in range(d):
+                            for cc in range(2):
+                                t = dnp[a][:, j, cc, :].astype(jnp.int32) * (
+                                    bskp[b][:, j, cc, o][:, None].astype(
+                                        jnp.int32
+                                    )
+                                )
+                                acc_o = t if acc_o is None else acc_o + t
+                        outs_o.append(acc_o)
+                    pprod = jnp.stack(outs_o, axis=1)  # (N, 2, Bt)
+                    groups[s] = (
+                        pprod if groups[s] is None else groups[s] + pprod
+                    )
             p = self._horner(groups)  # (N, 2, Bt)
             # --- monomial multiply: mono = prod sq_j^(order_bit_j) - 1
             sq_i = sq_ref[0]  # (log2n, Bt) int32
