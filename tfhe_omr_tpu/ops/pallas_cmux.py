@@ -240,41 +240,41 @@ class FusedBlindRotate:
             def _():
                 acc_scratch[:] = acc_ref[:]
 
-            acc = acc_scratch[:]  # (N, 2, Bt) int32
-            # --- decompose both polys -> d*2 signed digit polys
-            flat = acc.reshape(n, 2 * bt)
+            acc = acc_scratch[:]  # (2, N, Bt) int32
+            # --- decompose both polys -> d x (2, N, Bt) signed digits
+            flat = acc.transpose(1, 0, 2).reshape(n, 2 * bt)
             digs = self._decompose(flat)  # d x (N, 2*Bt)
-            dstack = jnp.concatenate(digs, axis=1)  # (N, d*2*Bt)
-            # --- forward NTT of digits
-            dn = self._ntt_fwd_digits(dstack, w0f_ref[:], w1f_ref[:])
-            dn = dn.reshape(n, d, 2, bt)
-            # --- MAC with BSK planes: sum over (j, comp). Fully scalarised
-            # over (j, comp, out) to keep VMEM liveness at (N, Bt) tiles —
-            # the broadcasted product tensor blew the 128MB VMEM budget.
-            bskp = bsk_ref[0]  # (L, N, d, 2, 2) int8
-            dnp = self._planes(dn)  # L x (N, d, 2, Bt) int8
+            # --- NTT the digit polys in two halves to halve liveness, and
+            # accumulate the MAC groups per half
+            bskp = bsk_ref[0]  # (L, d*2*2, N) int8
             groups = [None] * (2 * L - 1)
-            for a in range(L):
-                for b in range(L):
-                    s = a + b
-                    outs_o = []
-                    for o in range(2):
-                        acc_o = None
-                        for j in range(d):
-                            for cc in range(2):
-                                t = dnp[a][:, j, cc, :].astype(jnp.int32) * (
-                                    bskp[b][:, j, cc, o][:, None].astype(
+            half = d // 2 if d % 2 == 0 else d
+            for h0 in range(0, d, half):
+                h1 = min(d, h0 + half)
+                dstack = jnp.concatenate(digs[h0:h1], axis=1)
+                dn = self._ntt_fwd_digits(dstack, w0f_ref[:], w1f_ref[:])
+                dn = dn.reshape(n, (h1 - h0), 2, bt)
+                dnp = self._planes(dn)  # L x (N, hd, 2, Bt) int8
+                for a in range(L):
+                    for b in range(L):
+                        s_ = a + b
+                        outs_o = []
+                        for o in range(2):
+                            acc_o = None
+                            for j in range(h0, h1):
+                                for cc in range(2):
+                                    row = bskp[b, (j * 2 + cc) * 2 + o]
+                                    t = dnp[a][:, j - h0, cc, :].astype(
                                         jnp.int32
-                                    )
-                                )
-                                acc_o = t if acc_o is None else acc_o + t
-                        outs_o.append(acc_o)
-                    pprod = jnp.stack(outs_o, axis=1)  # (N, 2, Bt)
-                    groups[s] = (
-                        pprod if groups[s] is None else groups[s] + pprod
-                    )
-            p = self._horner(groups)  # (N, 2, Bt)
-            # --- monomial multiply: mono = prod sq_j^(order_bit_j) - 1
+                                    ) * row[:, None].astype(jnp.int32)
+                                    acc_o = t if acc_o is None else acc_o + t
+                            outs_o.append(acc_o)
+                        pprod = jnp.stack(outs_o, axis=0)  # (2, N, Bt)
+                        groups[s_] = (
+                            pprod if groups[s_] is None else groups[s_] + pprod
+                        )
+            p = self._horner(groups)  # (2, N, Bt)
+            # --- monomial multiply
             sq_i = sq_ref[0]  # (log2n, Bt) int32
             ob = ob_ref[:]  # (log2n, N) int32 0/1
             mono = None
@@ -287,15 +287,17 @@ class FusedBlindRotate:
             mono = mono - 1
             mono = mono + q32 * (mono < 0)
             p = self._elem_mul(
-                p.reshape(n, 2 * bt),
+                p.transpose(1, 0, 2).reshape(n, 2 * bt),
                 jnp.broadcast_to(mono[:, None, :], (n, 2, bt)).reshape(
                     n, 2 * bt
                 ),
-            ).reshape(n, 2, bt)
+            )
             # --- inverse NTT and accumulate
-            delta = self._ntt_inv(
-                p.reshape(n, 2 * bt), w0i_ref[:], w1i_ref[:]
-            ).reshape(n, 2, bt)
+            delta = (
+                self._ntt_inv(p, w0i_ref[:], w1i_ref[:])
+                .reshape(n, 2, bt)
+                .transpose(1, 0, 2)
+            )
             new_acc = acc + delta
             new_acc = new_acc - q32 * (new_acc >= q32)
             acc_scratch[:] = new_acc
@@ -309,16 +311,20 @@ class FusedBlindRotate:
             bsk_planes (n_steps, L, N, d, 2, 2) int8 -> (N, 2, B) int32."""
             n_, _, b = acc.shape
             n_steps = sq_all.shape[1]
-            # Mosaic block constraint: put the step axis first so the last
-            # two block dims can satisfy the (8,128)/full-dim rule
+            # layouts chosen for Mosaic: trailing dims must tile (8, 128)
+            acc_t = acc.transpose(1, 0, 2)  # (2, N, B)
             sq_all = sq_all.transpose(1, 0, 2)  # (n_steps, log2n, B)
+            # (n_steps, L, N, d, 2, 2) -> (n_steps, L, d*2*2, N)
+            bskp = bsk_planes.transpose(0, 1, 3, 4, 5, 2).reshape(
+                n_steps, self.levels, d * 4, n_
+            )
             tile = min(self.tile, b)
             assert b % tile == 0, (b, tile)
             i32 = jnp.int32
             grid = (b // tile, n_steps)
             out = pl.pallas_call(
                 kernel,
-                out_shape=jax.ShapeDtypeStruct((n_, 2, b), jnp.int32),
+                out_shape=jax.ShapeDtypeStruct((2, n_, b), jnp.int32),
                 grid=grid,
                 in_specs=[
                     pl.BlockSpec(
@@ -338,7 +344,7 @@ class FusedBlindRotate:
                         lambda i, s: (i32(0), i32(0)),
                         memory_space=pltpu.VMEM),
                     pl.BlockSpec(
-                        (n_, 2, tile),
+                        (2, n_, tile),
                         lambda i, s: (i32(0), i32(0), i.astype(jnp.int32)),
                         memory_space=pltpu.VMEM),
                     pl.BlockSpec(
@@ -348,25 +354,24 @@ class FusedBlindRotate:
                         ),
                         memory_space=pltpu.VMEM),
                     pl.BlockSpec(
-                        (1,) + bsk_planes.shape[1:],
+                        (1, self.levels, d * 4, n_),
                         lambda i, s: (
-                            s.astype(jnp.int32), i32(0), i32(0), i32(0),
-                            i32(0), i32(0),
+                            s.astype(jnp.int32), i32(0), i32(0), i32(0)
                         ),
                         memory_space=pltpu.VMEM),
                 ],
                 out_specs=pl.BlockSpec(
-                    (n_, 2, tile),
+                    (2, n_, tile),
                     lambda i, s: (i32(0), i32(0), i.astype(jnp.int32)),
                     memory_space=pltpu.VMEM,
                 ),
-                scratch_shapes=[pltpu.VMEM((n_, 2, tile), jnp.int32)],
+                scratch_shapes=[pltpu.VMEM((2, n_, tile), jnp.int32)],
                 compiler_params=pltpu.CompilerParams(
                     vmem_limit_bytes=100 * 1024 * 1024
                 ),
                 interpret=self.interpret,
-            )(w0f, w1f, w0i, w1i, order_bits, acc, sq_all, bsk_planes)
-            return out
+            )(w0f, w1f, w0i, w1i, order_bits, acc_t, sq_all, bskp)
+            return out.transpose(1, 0, 2)
 
         return call
 
