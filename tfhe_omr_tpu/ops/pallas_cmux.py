@@ -266,7 +266,7 @@ class FusedBlindRotate:
                                     row = bskp[b, (j * 2 + cc) * 2 + o]
                                     t = dnp[a][:, j - h0, cc, :].astype(
                                         jnp.int32
-                                    ) * row[:, None].astype(jnp.int32)
+                                    ) * row.astype(jnp.int32)[:, None]
                                     acc_o = t if acc_o is None else acc_o + t
                             outs_o.append(acc_o)
                         pprod = jnp.stack(outs_o, axis=0)  # (2, N, Bt)
