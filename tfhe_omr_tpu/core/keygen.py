@@ -153,7 +153,7 @@ class SecretKeyPack:
 
         with host_math():
             bsk1, bsk1_sh = self._gen_bsk(
-                self.clue_sk,
+                self._pair_bits(self.clue_sk),
                 self.z1_f,
                 self.z1_ntt,
                 c.f1,
@@ -164,7 +164,7 @@ class SecretKeyPack:
             )
             ksk_limbs = self._gen_ksk(rng)
             bsk2, bsk2_sh = self._gen_bsk(
-                self.inter_sk,
+                self._pair_bits(self.inter_sk),
                 self.z2_f,
                 self.z2_ntt,
                 c.f2,
@@ -207,7 +207,16 @@ class SecretKeyPack:
         """RGSW encryptions of each LWE secret bit under the ring key.
 
         Counterpart of ``BlindRotationKey::generate``
-        (``secret.rs:124-131,149-156``). RGSW(m) components:
+        (``secret.rs:124-131,149-156``), with the pairwise (BMMP16) layout:
+        for each secret-bit pair (s0, s1) THREE messages are encrypted —
+        m10 = s0(1-s1), m01 = s1(1-s0), m11 = s0*s1 — so one CMUX step
+        handles two LWE coefficients with a single decomposition+NTT:
+
+          X^(a0 s0 + a1 s1) = 1 + (X^a0 - 1) m10 + (X^a1 - 1) m01
+                                + (X^(a0+a1) - 1) m11.
+
+        The "lwe_sk" passed here is therefore the derived 3-message vector
+        (length 3*n/2) built by ``_pair_bits``. RGSW(m) components:
         c=0 rows encrypt -h_j * z * m (paired with a-part digits),
         c=1 rows encrypt  h_j * m      (paired with b-part digits).
         Output layout (n, N, d, c, o) for the detector MAC.
@@ -239,6 +248,16 @@ class SecretKeyPack:
             jnp.asarray(key_np, dtype=sd),
             jnp.asarray(field.shoup(key_np), dtype=sd),
         )
+
+    @staticmethod
+    def _pair_bits(sk: np.ndarray) -> np.ndarray:
+        """(n,) binary secret -> (3*n/2,) pair messages [m10, m01, m11]."""
+        assert len(sk) % 2 == 0
+        s0 = sk[0::2]
+        s1 = sk[1::2]
+        return np.stack(
+            [s0 * (1 - s1), s1 * (1 - s0), s0 * s1], axis=1
+        ).reshape(-1)
 
     def _gen_ksk(self, rng):
         """LWE key switch z1 (as 1024-dim LWE secret) -> s2, binary digits.

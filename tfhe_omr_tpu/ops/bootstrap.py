@@ -118,43 +118,58 @@ def make_blind_rotate(field: PrimeField, ntt: NegacyclicNtt, gadget: SignedGadge
         return jnp.stack(sqs)
 
     def monomial_minus_one(sq_i):
-        """(N, B) values ``NTT(X^a - 1)[k] = psi^(a_m * o_k) - 1`` from the
-        per-step square chain sq_i (log2n, B): product over the STATIC bits
-        of the evaluation orders o_k."""
-        one = jnp.ones((1, sq_i.shape[1]), dtype=field.storage_dtype)
+        """``NTT(X^a - 1)[k] = psi^(a * o_k) - 1`` from a square-chain slice
+        sq_i (log2n, 3, B) for the three pair rotations: product over the
+        STATIC bits of the evaluation orders o_k. Returns (3, N, B)."""
+        one = jnp.ones((1, 1, sq_i.shape[2]), dtype=field.storage_dtype)
         mono = None
         for j in range(log2n):
-            term = jnp.where(order_bits[j][:, None], sq_i[j][None, :], one)
+            term = jnp.where(
+                order_bits[j][None, :, None], sq_i[j][:, None, :], one
+            )  # (3, N, B)
             mono = term if mono is None else field.mul(mono, term)
         return field.sub(mono, jnp.ones((), dtype=field.storage_dtype))
 
     def step(i, acc, sq_all, bsk, bsk_sh):
-        sq_i = jax.lax.dynamic_index_in_dim(sq_all, i, axis=1, keepdims=False)
-        k_i = jax.lax.dynamic_index_in_dim(bsk, i, axis=0, keepdims=False)
-        k_sh_i = jax.lax.dynamic_index_in_dim(bsk_sh, i, axis=0, keepdims=False)
+        # pair step: three RGSW rows [m10, m01, m11] and three rotations
+        # [a0, a1, a0+a1] handled with ONE decomposition + forward NTT
+        sq_i = jax.lax.dynamic_slice_in_dim(sq_all, 3 * i, 3, axis=1)
+        k_i = jax.lax.dynamic_slice_in_dim(bsk, 3 * i, 3, axis=0)
+        k_sh_i = jax.lax.dynamic_slice_in_dim(bsk_sh, 3 * i, 3, axis=0)
 
         # gadget-decompose both acc polys: (N, d, 2, B)
         digs = gadget.decompose_to_field(acc, axis=1)
         dn = ntt.fwd(digs)
-        # MAC against RGSW rows: P[n, o, b] = sum_{j,c} dn[n,j,c,b]*K[n,j,c,o]
+        # MAC against the three RGSW rows:
+        # P[t, n, o, b] = sum_{j,c} dn[n,j,c,b] * K[t,n,j,c,o]
         prod = field.mul_shoup(
-            dn[:, :, :, None, :], k_i[..., None], k_sh_i[..., None]
+            dn[None, :, :, :, None, :], k_i[..., None], k_sh_i[..., None]
         )
         p = field.reduce(
-            field._up(prod).sum(axis=(1, 2)),
+            field._up(prod).sum(axis=(2, 3)),
             field.bits + (2 * gadget.d).bit_length() + 1,
-        )  # (N, 2, B)
-        mono = monomial_minus_one(sq_i)  # (N, B)
-        p = field.mul(p, mono[:, None, :])
+        )  # (3, N, 2, B)
+        mono = monomial_minus_one(sq_i)  # (3, N, B)
+        p = field.mul(p, mono[:, :, None, :])
+        p = field.mod_sum(p, axis=0)  # (N, 2, B)
         return field.add(acc, ntt.inv(p))
 
     def blind_rotate(acc, amounts, bsk, bsk_sh):
+        """amounts (n_lwe, B); bsk rows are the 3-per-pair layout
+        (3*n_lwe/2, N, d, 2, 2) from keygen's ``_pair_bits``."""
         acc = acc.astype(field.storage_dtype)
         n_lwe = amounts.shape[0]
-        sq_all = square_chains(amounts)  # (log2n, n_steps, B)
+        assert n_lwe % 2 == 0, "pairwise CMUX needs an even LWE dimension"
+        a0 = amounts[0::2]
+        a1 = amounts[1::2]
+        a01 = (a0 + a1) % two_n
+        amounts3 = jnp.stack([a0, a1, a01], axis=1).reshape(
+            3 * (n_lwe // 2), amounts.shape[1]
+        )
+        sq_all = square_chains(amounts3)  # (log2n, 3*n/2, B)
         return jax.lax.fori_loop(
             0,
-            n_lwe,
+            n_lwe // 2,
             lambda i, a: step(i, a, sq_all, bsk, bsk_sh),
             acc,
         )
