@@ -73,7 +73,7 @@ def main():
     q0 = params.clue_params.cipher_modulus
     a1 = jnp.asarray(rng.integers(0, q0, size=(n0, B), dtype=np.int64))
     b1 = jnp.asarray(rng.integers(0, q0, size=(B,), dtype=np.int64))
-    br1 = make_blind_rotate(ctx.f1, ctx.ntt1, ctx.gadget_br1)
+    br1 = make_blind_rotate(ctx.f1, ctx.ntt1, ctx.gadget_br1, paired=False)
     lut1 = jnp.asarray(ctx.lut1_ext)
 
     @jax.jit
@@ -100,7 +100,7 @@ def main():
     qi = params.intermediate_lwe.cipher_modulus
     a2 = jnp.asarray(rng.integers(0, qi, size=(n_int, B), dtype=np.int64))
     b2 = jnp.asarray(rng.integers(0, qi, size=(B,), dtype=np.int64))
-    br2 = make_blind_rotate(ctx.f2, ctx.ntt2, ctx.gadget_br2)
+    br2 = make_blind_rotate(ctx.f2, ctx.ntt2, ctx.gadget_br2, paired=True)
     lut2 = jnp.asarray(ctx.lut2_ext)
 
     @jax.jit

@@ -124,7 +124,7 @@ def test_blind_rotate_lut2_and_trace(nf_pack, rng):
     pmod = p.output_plain_modulus
     delta2 = (2 * q2 + pmod) // (2 * pmod)
 
-    br = make_blind_rotate(ctx.f2, ctx.ntt2, ctx.gadget_br2)
+    br = make_blind_rotate(ctx.f2, ctx.ntt2, ctx.gadget_br2, paired=True)
     trace = make_trace(ctx.f2, ctx.ntt2, ctx.gadget_trace, ctx.trace_autos)
     lut2_ext = jnp.asarray(ctx.lut2_ext)
 

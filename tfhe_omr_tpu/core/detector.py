@@ -96,8 +96,11 @@ class Detector:
         self._use_fused = use_fused
         if use_fused:
             br1_fused = make_fused_blind_rotate(f1, ntt1, ctx.gadget_br1)
-        br1 = make_blind_rotate(f1, ntt1, ctx.gadget_br1)
-        br2 = make_blind_rotate(f2, ntt2, ctx.gadget_br2)
+        # L1's NTT is already cheap (fused Pallas kernel), so the pairwise
+        # trick's 3x mono/MAC overhead loses there; L2's NTT still dominates
+        # and pairing wins ~26%.
+        br1 = make_blind_rotate(f1, ntt1, ctx.gadget_br1, paired=False)
+        br2 = make_blind_rotate(f2, ntt2, ctx.gadget_br2, paired=True)
         ks = make_lwe_keyswitch(f1, p.first_level_ks.digits, p.first_level_ks.out_dimension)
         trace = make_trace(f2, ntt2, ctx.gadget_trace, ctx.trace_autos)
 

@@ -153,7 +153,7 @@ class SecretKeyPack:
 
         with host_math():
             bsk1, bsk1_sh = self._gen_bsk(
-                self._pair_bits(self.clue_sk),
+                self.clue_sk,
                 self.z1_f,
                 self.z1_ntt,
                 c.f1,

@@ -73,7 +73,12 @@ def make_fused_blind_rotate(field: PrimeField, ntt, gadget: SignedGadget):
     return blind_rotate
 
 
-def make_blind_rotate(field: PrimeField, ntt: NegacyclicNtt, gadget: SignedGadget):
+def make_blind_rotate(
+    field: PrimeField,
+    ntt: NegacyclicNtt,
+    gadget: SignedGadget,
+    paired: bool = False,
+):
     """Returns blind_rotate(acc, amounts, bsk, bsk_sh).
 
     acc:     (N, 2, B) int64 coefficient domain, the accumulator (a, b).
@@ -130,12 +135,15 @@ def make_blind_rotate(field: PrimeField, ntt: NegacyclicNtt, gadget: SignedGadge
             mono = term if mono is None else field.mul(mono, term)
         return field.sub(mono, jnp.ones((), dtype=field.storage_dtype))
 
+    rows = 3 if paired else 1
+
     def step(i, acc, sq_all, bsk, bsk_sh):
-        # pair step: three RGSW rows [m10, m01, m11] and three rotations
-        # [a0, a1, a0+a1] handled with ONE decomposition + forward NTT
-        sq_i = jax.lax.dynamic_slice_in_dim(sq_all, 3 * i, 3, axis=1)
-        k_i = jax.lax.dynamic_slice_in_dim(bsk, 3 * i, 3, axis=0)
-        k_sh_i = jax.lax.dynamic_slice_in_dim(bsk_sh, 3 * i, 3, axis=0)
+        # paired step: three RGSW rows [m10, m01, m11] and three rotations
+        # [a0, a1, a0+a1] handled with ONE decomposition + forward NTT;
+        # unpaired step: the same code with a single row [s_i] and [a_i]
+        sq_i = jax.lax.dynamic_slice_in_dim(sq_all, rows * i, rows, axis=1)
+        k_i = jax.lax.dynamic_slice_in_dim(bsk, rows * i, rows, axis=0)
+        k_sh_i = jax.lax.dynamic_slice_in_dim(bsk_sh, rows * i, rows, axis=0)
 
         # gadget-decompose both acc polys: (N, d, 2, B)
         digs = gadget.decompose_to_field(acc, axis=1)
@@ -149,27 +157,36 @@ def make_blind_rotate(field: PrimeField, ntt: NegacyclicNtt, gadget: SignedGadge
             field._up(prod).sum(axis=(2, 3)),
             field.bits + (2 * gadget.d).bit_length() + 1,
         )  # (3, N, 2, B)
-        mono = monomial_minus_one(sq_i)  # (3, N, B)
+        mono = monomial_minus_one(sq_i)  # (rows, N, B)
         p = field.mul(p, mono[:, :, None, :])
-        p = field.mod_sum(p, axis=0)  # (N, 2, B)
+        if paired:
+            p = field.mod_sum(p, axis=0)  # (N, 2, B)
+        else:
+            p = p[0]
         return field.add(acc, ntt.inv(p))
 
     def blind_rotate(acc, amounts, bsk, bsk_sh):
         """amounts (n_lwe, B); bsk rows are the 3-per-pair layout
-        (3*n_lwe/2, N, d, 2, 2) from keygen's ``_pair_bits``."""
+        (3*n_lwe/2, N, d, 2, 2) from keygen's ``_pair_bits`` when paired,
+        else the plain per-bit layout (n_lwe, N, d, 2, 2)."""
         acc = acc.astype(field.storage_dtype)
         n_lwe = amounts.shape[0]
-        assert n_lwe % 2 == 0, "pairwise CMUX needs an even LWE dimension"
-        a0 = amounts[0::2]
-        a1 = amounts[1::2]
-        a01 = (a0 + a1) % two_n
-        amounts3 = jnp.stack([a0, a1, a01], axis=1).reshape(
-            3 * (n_lwe // 2), amounts.shape[1]
-        )
-        sq_all = square_chains(amounts3)  # (log2n, 3*n/2, B)
+        if paired:
+            assert n_lwe % 2 == 0, "pairwise CMUX needs an even LWE dimension"
+            a0 = amounts[0::2]
+            a1 = amounts[1::2]
+            a01 = (a0 + a1) % two_n
+            amounts_r = jnp.stack([a0, a1, a01], axis=1).reshape(
+                3 * (n_lwe // 2), amounts.shape[1]
+            )
+            n_steps = n_lwe // 2
+        else:
+            amounts_r = amounts
+            n_steps = n_lwe
+        sq_all = square_chains(amounts_r)
         return jax.lax.fori_loop(
             0,
-            n_lwe // 2,
+            n_steps,
             lambda i, a: step(i, a, sq_all, bsk, bsk_sh),
             acc,
         )
