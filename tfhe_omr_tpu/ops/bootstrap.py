@@ -137,6 +137,21 @@ def make_blind_rotate(
 
     rows = 3 if paired else 1
 
+    # pallas mono kernel for small fields when the Pallas NTT is active
+    # (same backend-dispatch rule); the XLA ladder materialises ~log2n (N,B)
+    # intermediates per step
+    pallas_mono = None
+    if field.bits <= 27 and hasattr(ntt, "_w0_f"):
+        from tfhe_omr_tpu.ops.pallas_cmux import PallasMono
+
+        pallas_mono = PallasMono(field, ntt)
+
+    def mono_rows(sq_i):
+        if pallas_mono is not None and ntt._pallas_ok():
+            outs = [pallas_mono(sq_i[:, t]) for t in range(rows)]
+            return jnp.stack(outs, axis=0).astype(field.storage_dtype)
+        return monomial_minus_one(sq_i)
+
     def step(i, acc, sq_all, bsk, bsk_sh):
         # paired step: three RGSW rows [m10, m01, m11] and three rotations
         # [a0, a1, a0+a1] handled with ONE decomposition + forward NTT;
@@ -157,7 +172,7 @@ def make_blind_rotate(
             field._up(prod).sum(axis=(2, 3)),
             field.bits + (2 * gadget.d).bit_length() + 1,
         )  # (3, N, 2, B)
-        mono = monomial_minus_one(sq_i)  # (rows, N, B)
+        mono = mono_rows(sq_i)  # (rows, N, B)
         p = field.mul(p, mono[:, :, None, :])
         if paired:
             p = field.mod_sum(p, axis=0)  # (N, 2, B)

@@ -377,3 +377,95 @@ class FusedBlindRotate:
 
     def __call__(self, acc, sq_all, bsk_planes):
         return self._call(acc, sq_all, bsk_planes)
+
+
+class PallasMono:
+    """Standalone Pallas kernel for the monomial multiplier product.
+
+    Computes ``mono[k, m] = prod_j sq[j, m]^(order_bit_j(k)) - 1`` — i.e.
+    ``NTT(X^a - 1)`` — for one CMUX step, with the same int32 plane-product
+    Horner arithmetic as FusedBlindRotate. The XLA ladder materialises ~11
+    (N, B) intermediates per step; in-kernel it is one write.
+    """
+
+    def __init__(self, field, ntt, tile: int = 128, interpret: bool = False):
+        assert field.bits <= 27
+        self.field = field
+        self.n = ntt.n
+        self.tile = tile
+        self.interpret = interpret
+        self.levels = -(-field.bits // DIGIT_BITS)
+        self.log2n = (2 * ntt.n).bit_length() - 1
+        ob = np.stack(
+            [
+                ((np.asarray(ntt.orders) >> j) & 1).astype(np.int32)
+                for j in range(self.log2n)
+            ]
+        )
+        self._order_bits = jnp.asarray(ob)
+        # borrow the arithmetic helpers
+        self._fb = FusedBlindRotate.__new__(FusedBlindRotate)
+        self._fb.field = field
+        self._fb.levels = self.levels
+        self._call = self._make_call()
+
+    def _make_call(self):
+        n = self.n
+        log2n = self.log2n
+        ob_arr = self._order_bits
+        fb = self._fb
+        q_int = int(self.field.q)
+
+        def kernel(ob_ref, sq_ref, o_ref):
+            q32 = jnp.int32(q_int)
+            bt = sq_ref.shape[1]
+            sq = sq_ref[:]  # (log2n, Bt) int32
+            ob = ob_ref[:]  # (log2n, N)
+            one = jnp.ones((n, bt), dtype=jnp.int32)
+            mono = None
+            for j in range(log2n):
+                sel = ob[j][:, None]
+                term = sel * sq[j][None, :] + (1 - sel) * one
+                mono = term if mono is None else fb._elem_mul(mono, term)
+            mono = mono - 1
+            o_ref[:] = mono + q32 * (mono < 0)
+
+        def call(sq_i):
+            """sq_i (log2n, B) int32 -> (N, B) int32 mono values."""
+            b = sq_i.shape[1]
+            tile = min(self.tile, b)
+            pad = (-b) % tile
+            if pad:
+                sq_i = jnp.concatenate(
+                    [sq_i, jnp.ones((log2n, pad), sq_i.dtype)], axis=1
+                )
+            i32 = jnp.int32
+            out = pl.pallas_call(
+                kernel,
+                out_shape=jax.ShapeDtypeStruct((n, sq_i.shape[1]), jnp.int32),
+                grid=(sq_i.shape[1] // tile,),
+                in_specs=[
+                    pl.BlockSpec(
+                        ob_arr.shape,
+                        lambda i: (i32(0), i32(0)),
+                        memory_space=pltpu.VMEM,
+                    ),
+                    pl.BlockSpec(
+                        (log2n, tile),
+                        lambda i: (i32(0), i.astype(jnp.int32)),
+                        memory_space=pltpu.VMEM,
+                    ),
+                ],
+                out_specs=pl.BlockSpec(
+                    (n, tile),
+                    lambda i: (i32(0), i.astype(jnp.int32)),
+                    memory_space=pltpu.VMEM,
+                ),
+                interpret=self.interpret,
+            )(ob_arr, sq_i.astype(jnp.int32))
+            return out[:, :b] if pad else out
+
+        return call
+
+    def __call__(self, sq_i):
+        return self._call(sq_i)
