@@ -222,24 +222,26 @@ class PallasNtt:
             dev = jax.devices()[0]
         return getattr(dev, "platform", "cpu") != "cpu"
 
+    def _flat_batch(self, x):
+        flat = 1
+        for s in x.shape[1:]:
+            flat *= s
+        return flat
+
     def fwd(self, x):
-        if not self._pallas_ok():
+        # Mosaic lane tiles need >=128 columns; tiny batches (e.g. the
+        # client-side decrypt of a handful of ciphertexts) use the jnp twin
+        if not self._pallas_ok() or self._flat_batch(x) < 128:
             return self.ref.fwd(x)
         batch = x.shape[1:]
-        flat = 1
-        for s in batch:
-            flat *= s
-        out = self._fwd_call(x.reshape(self.n, flat))
+        out = self._fwd_call(x.reshape(self.n, self._flat_batch(x)))
         return out.reshape((self.n,) + batch)
 
     def inv(self, x):
-        if not self._pallas_ok():
+        if not self._pallas_ok() or self._flat_batch(x) < 128:
             return self.ref.inv(x)
         batch = x.shape[1:]
-        flat = 1
-        for s in batch:
-            flat *= s
-        out = self._inv_call(x.reshape(self.n, flat))
+        out = self._inv_call(x.reshape(self.n, self._flat_batch(x)))
         return out.reshape((self.n,) + batch)
 
     def fwd_last(self, x):
@@ -544,17 +546,17 @@ class PallasNtt50:
         return x.reshape(self.n, flat), batch
 
     def fwd(self, x):
-        if not self._pallas_ok():
+        xf, batch = self._flat(x)
+        if not self._pallas_ok() or xf.shape[1] < 128:
             perm = jnp.asarray(self._perm)
             return self.ref2.fwd(x)[perm]
-        xf, batch = self._flat(x)
         return self._fwd_call(xf).reshape((self.n,) + batch)
 
     def inv(self, x):
-        if not self._pallas_ok():
+        xf, batch = self._flat(x)
+        if not self._pallas_ok() or xf.shape[1] < 128:
             perm_inv = jnp.asarray(self._perm_inv)
             return self.ref2.inv(x[perm_inv])
-        xf, batch = self._flat(x)
         return self._inv_call(xf).reshape((self.n,) + batch)
 
     def fwd_last(self, x):
