@@ -73,6 +73,101 @@ def make_fused_blind_rotate(field: PrimeField, ntt, gadget: SignedGadget):
     return blind_rotate
 
 
+def make_mono_powers(field: PrimeField, ntt):
+    """Factored power tables for the NTT-domain monomial multiplier.
+
+    ``NTT(X^a)[k] = psi^(a * o_k)``.  Write ``o_k = o_lo + 2^lo * o_hi`` with
+    STATIC digits of the (compile-time) evaluation orders; then with
+    ``x = psi^a``:
+
+        psi^(a * o_k) = x^{o_lo(k)} * (x^{2^lo})^{o_hi(k)}
+
+    ``build_tables(amounts)`` produces the per-column power tables
+    ``P1[t] = x^t`` (t < 2^lo) and ``P2[u] = (x^{2^lo})^u`` once for ALL
+    steps (a ladder of ~n_lo + n_hi sequential elementwise muls on the small
+    ``(n_steps, B)`` grid), and ``select(p1_i, p2_i)`` turns one step's
+    slices into the ``(rows, N, B)`` multiplier values with two STATIC
+    one-hot int8 MXU dots (exact: a one-hot dot is a copy) and a single
+    elementwise modmul — replacing the per-step 11-deep square-multiply
+    ladder (log2n sequential (N, B) modmuls) that previously dominated the
+    CMUX step.
+    """
+    two_n = 2 * ntt.n
+    n = ntt.n
+    log2n = two_n.bit_length() - 1
+    lo_bits = log2n // 2
+    n_lo = 1 << lo_bits
+    n_hi = two_n >> lo_bits
+    q = field.q
+    psi_pows2 = [pow(ntt.psi, 1 << j, q) for j in range(log2n)]
+    psi_pows2_sh = [int(field.shoup(w)) for w in psi_pows2]
+
+    orders_np = np.asarray(ntt.orders)
+    oh_lo = np.zeros((n, n_lo), dtype=np.int8)
+    oh_lo[np.arange(n), orders_np % n_lo] = 1
+    oh_hi = np.zeros((n, n_hi), dtype=np.int8)
+    oh_hi[np.arange(n), orders_np >> lo_bits] = 1
+    oh_lo = jnp.asarray(oh_lo)
+    oh_hi = jnp.asarray(oh_hi)
+
+    levels = -(-field.bits // 7)
+    big = field.bits > 27  # recombined one-hot dots need int64
+
+    def build_tables(amounts):
+        """amounts (n_steps, B) in [0, 2N) ->
+        (P1 (n_lo, n_steps, B), P2 (n_hi, n_steps, B))."""
+        one = jnp.ones(amounts.shape, dtype=field.storage_dtype)
+        x = one
+        for j in range(log2n):
+            bit = ((amounts >> j) & 1).astype(bool)
+            stepped = field.mul_shoup(
+                x, jnp.int64(psi_pows2[j]), jnp.int64(psi_pows2_sh[j])
+            )
+            x = jnp.where(bit, stepped, x)
+        p1 = [one, x]
+        for _ in range(n_lo - 2):
+            p1.append(field.mul(p1[-1], x))
+        y = field.mul(p1[-1], x)  # x^{2^lo}
+        p2 = [one, y]
+        for _ in range(n_hi - 2):
+            p2.append(field.mul(p2[-1], y))
+        return jnp.stack(p1), jnp.stack(p2)
+
+    def _onehot_select(oh, tab):
+        """tab (n_e, rows, B) in [0, q) -> exact values (N, rows, B)."""
+        n_e, rows, b = tab.shape
+        planes = jnp.stack(
+            [
+                ((tab >> jnp.int64(7 * a)) & jnp.int64(127)).astype(jnp.int8)
+                for a in range(levels)
+            ],
+            axis=1,
+        ).reshape(n_e, levels * rows * b)
+        sel = jax.lax.dot_general(
+            oh,
+            planes,
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        ).reshape(n, levels, rows, b)
+        if big:
+            sel = sel.astype(jnp.int64)
+        out = sel[:, 0]
+        for a in range(1, levels):
+            out = out + (sel[:, a] << (7 * a))
+        return out.astype(field.storage_dtype)
+
+    def select(p1_i, p2_i):
+        """p1_i (n_lo, rows, B), p2_i (n_hi, rows, B) ->
+        mono (rows, N, B) = psi^(a*o_k) - 1."""
+        s1 = _onehot_select(oh_lo, p1_i)  # (N, rows, B)
+        s2 = _onehot_select(oh_hi, p2_i)
+        mono = field.mul(s1, s2)
+        mono = field.sub(mono, jnp.ones((), dtype=field.storage_dtype))
+        return jnp.moveaxis(mono, 1, 0)
+
+    return build_tables, select
+
+
 def make_blind_rotate(
     field: PrimeField,
     ntt: NegacyclicNtt,
@@ -89,74 +184,15 @@ def make_blind_rotate(
     i.e. the CMUX chain of TFHE blind rotation for binary LWE secrets.
     """
     two_n = 2 * ntt.n
-    log2n = two_n.bit_length() - 1
-    q = field.q
-    # psi^(2^j) constants (+ Shoup) for the per-column power ladder
-    psi_pows2 = [pow(ntt.psi, 1 << j, q) for j in range(log2n)]
-    psi_pows2_sh = [int(field.shoup(w)) for w in psi_pows2]
-    # static bit masks of the evaluation orders o_k
-    orders_np = np.asarray(ntt.orders)
-    order_bits = [
-        jnp.asarray(((orders_np >> j) & 1).astype(bool))
-        for j in range(log2n)
-    ]
-
-    def square_chains(amounts):
-        """(log2n, n_steps, B) table sq[j, i, m] = psi^(a[i, m] * 2^j).
-
-        Hoisted out of the CMUX loop: base = psi^a via square-and-multiply
-        over the bits of a (constant multipliers, gather-free — XLA TPU
-        gathers are element-serial and a (N, B) psi-table lookup dominated
-        the whole CMUX step at 62%), then repeated squaring.
-        """
-        one = jnp.ones(amounts.shape, dtype=field.storage_dtype)
-        base = one
-        for j in range(log2n):
-            bit = ((amounts >> j) & 1).astype(bool)
-            stepped = field.mul_shoup(
-                base, jnp.int64(psi_pows2[j]), jnp.int64(psi_pows2_sh[j])
-            )
-            base = jnp.where(bit, stepped, base)
-        sqs = [base]
-        for j in range(1, log2n):
-            sqs.append(field.mul(sqs[-1], sqs[-1]))
-        return jnp.stack(sqs)
-
-    def monomial_minus_one(sq_i):
-        """``NTT(X^a - 1)[k] = psi^(a * o_k) - 1`` from a square-chain slice
-        sq_i (log2n, 3, B) for the three pair rotations: product over the
-        STATIC bits of the evaluation orders o_k. Returns (3, N, B)."""
-        one = jnp.ones((1, 1, sq_i.shape[2]), dtype=field.storage_dtype)
-        mono = None
-        for j in range(log2n):
-            term = jnp.where(
-                order_bits[j][None, :, None], sq_i[j][:, None, :], one
-            )  # (3, N, B)
-            mono = term if mono is None else field.mul(mono, term)
-        return field.sub(mono, jnp.ones((), dtype=field.storage_dtype))
-
     rows = 3 if paired else 1
+    build_tables, mono_select = make_mono_powers(field, ntt)
 
-    # pallas mono kernel for small fields when the Pallas NTT is active
-    # (same backend-dispatch rule); the XLA ladder materialises ~log2n (N,B)
-    # intermediates per step
-    pallas_mono = None
-    if field.bits <= 27 and hasattr(ntt, "_w0_f"):
-        from tfhe_omr_tpu.ops.pallas_cmux import PallasMono
-
-        pallas_mono = PallasMono(field, ntt)
-
-    def mono_rows(sq_i):
-        if pallas_mono is not None and ntt._pallas_ok():
-            outs = [pallas_mono(sq_i[:, t]) for t in range(rows)]
-            return jnp.stack(outs, axis=0).astype(field.storage_dtype)
-        return monomial_minus_one(sq_i)
-
-    def step(i, acc, sq_all, bsk, bsk_sh):
+    def step(i, acc, p1, p2, bsk, bsk_sh):
         # paired step: three RGSW rows [m10, m01, m11] and three rotations
         # [a0, a1, a0+a1] handled with ONE decomposition + forward NTT;
         # unpaired step: the same code with a single row [s_i] and [a_i]
-        sq_i = jax.lax.dynamic_slice_in_dim(sq_all, rows * i, rows, axis=1)
+        p1_i = jax.lax.dynamic_slice_in_dim(p1, rows * i, rows, axis=1)
+        p2_i = jax.lax.dynamic_slice_in_dim(p2, rows * i, rows, axis=1)
         k_i = jax.lax.dynamic_slice_in_dim(bsk, rows * i, rows, axis=0)
         k_sh_i = jax.lax.dynamic_slice_in_dim(bsk_sh, rows * i, rows, axis=0)
 
@@ -172,7 +208,7 @@ def make_blind_rotate(
             field._up(prod).sum(axis=(2, 3)),
             field.bits + (2 * gadget.d).bit_length() + 1,
         )  # (3, N, 2, B)
-        mono = mono_rows(sq_i)  # (rows, N, B)
+        mono = mono_select(p1_i, p2_i)  # (rows, N, B)
         p = field.mul(p, mono[:, :, None, :])
         if paired:
             p = field.mod_sum(p, axis=0)  # (N, 2, B)
@@ -198,11 +234,11 @@ def make_blind_rotate(
         else:
             amounts_r = amounts
             n_steps = n_lwe
-        sq_all = square_chains(amounts_r)
+        p1, p2 = build_tables(amounts_r)
         return jax.lax.fori_loop(
             0,
             n_steps,
-            lambda i, a: step(i, a, sq_all, bsk, bsk_sh),
+            lambda i, a: step(i, a, p1, p2, bsk, bsk_sh),
             acc,
         )
 
