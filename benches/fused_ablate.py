@@ -1,0 +1,80 @@
+"""Phase ablation of the fused L1 kernel: time with each phase skipped."""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from tfhe_omr_tpu.core.params import OmrParameters
+    from tfhe_omr_tpu.core.context import OmrContext
+    from tfhe_omr_tpu.ops.bootstrap import make_mono_powers
+    from tfhe_omr_tpu.ops.pallas_fused import (
+        FusedBlindRotateL1,
+        make_bsk_balanced,
+    )
+
+    params = OmrParameters.default()
+    ctx = OmrContext(params)
+    f, ntt, g = ctx.f1, ctx.ntt1, ctx.gadget_br1
+    n, d = params.n1, g.d
+    B = int(os.environ.get("AB_BATCH", "896"))
+    steps = int(os.environ.get("AB_STEPS", "512"))
+    tile = int(os.environ.get("AB_TILE", "128"))
+    rng = np.random.default_rng(0)
+
+    acc0 = jnp.asarray(
+        rng.integers(0, f.q, size=(n, 2, B), dtype=np.int64).astype(np.int32)
+    )
+    amounts = jnp.asarray(
+        rng.integers(0, 2 * n, size=(steps, B), dtype=np.int64)
+    )
+    bsk_np = rng.integers(0, f.q, size=(steps, n, d, 2, 2), dtype=np.int64)
+    bsk_bal = jnp.asarray(make_bsk_balanced(bsk_np, f.q))
+    build_tables, _ = make_mono_powers(f, ntt)
+    p1, p2 = jax.jit(build_tables)(amounts)
+    p1 = p1.astype(jnp.int32)
+    p2 = p2.astype(jnp.int32)
+    jax.block_until_ready((p1, p2))
+
+    variants = os.environ.get(
+        "AB_VARIANTS", "none,dec,fwd,mono,mac,intt"
+    ).split(",")
+    for v in variants:
+        skip = frozenset() if v == "none" else frozenset(v.split("+"))
+        fused = FusedBlindRotateL1(f, ntt, g.d, g.log_b, tile=tile, skip=skip)
+        fn = jax.jit(lambda a: fused(a, p1, p2, bsk_bal))
+        t0 = time.perf_counter()
+        out = fn(acc0)
+        jax.block_until_ready(out)
+        compile_s = time.perf_counter() - t0
+        times = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            out = fn(acc0)
+            jax.block_until_ready(out)
+            times.append(time.perf_counter() - t0)
+        best = min(times)
+        print(
+            json.dumps(
+                {
+                    "skip": v,
+                    "pass_ms": round(1e3 * best, 2),
+                    "us_per_step": round(1e6 * best / steps, 1),
+                    "compile_s": round(compile_s, 1),
+                }
+            ),
+            flush=True,
+        )
+
+
+if __name__ == "__main__":
+    main()

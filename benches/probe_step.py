@@ -158,23 +158,6 @@ def main():
     t = bench(lambda: mono_run(p0), args.reps)
     results["mono_mul_us_per_step"] = 1e6 * t / LOOP
 
-    # ---- square-chain/mono table build (per-step share when unpaired)
-    from tfhe_omr_tpu.ops.bootstrap import make_square_chains
-    from tfhe_omr_tpu.ops.pallas_cmux import PallasMono
-
-    if field.bits <= 27:
-        pm = PallasMono(field, ntt)
-        sq0 = jnp.asarray(rng.integers(0, field.q, size=((2 * n).bit_length() - 1, B), dtype=np.int64).astype(np.int32))
-
-        @jax.jit
-        def pm_run(sq):
-            def body(i, v):
-                return pm(v)[: sq.shape[0]]
-            return jax.lax.fori_loop(0, LOOP, body, sq)
-
-        t = bench(lambda: pm_run(sq0), args.reps)
-        results["pallas_mono_us_per_step"] = 1e6 * t / LOOP
-
     results["device"] = str(jax.devices()[0])
     print(json.dumps(results, indent=1))
 

@@ -1,7 +1,10 @@
-"""Fused Pallas blind rotation (interpret) vs the XLA path — same decrypts.
+"""Fused Pallas blind rotation (interpret mode) vs the XLA path.
 
-Uses a reduced LWE dimension (32 CMUX steps) against the full-size first
-level ring so the interpret-mode kernel run stays fast.
+The v2 fused kernel (ops/pallas_fused.py) is designed to be BIT-IDENTICAL
+to ``make_blind_rotate``: same exact gadget rounding, same NTT plan and
+orderings, same mono power tables. Uses a reduced LWE dimension (32 CMUX
+steps) against the full-size first-level ring so the interpret-mode kernel
+run stays fast.
 """
 
 from dataclasses import replace
@@ -14,7 +17,11 @@ from tests.helpers import centered, lwe_encrypt, rlwe_decrypt_coeff
 
 from tfhe_omr_tpu.core.keygen import SecretKeyPack
 from tfhe_omr_tpu.core.params import KeySwitchParams, LweParams, OmrParameters
-from tfhe_omr_tpu.ops.bootstrap import init_accumulator, make_blind_rotate
+from tfhe_omr_tpu.ops.bootstrap import (
+    init_accumulator,
+    make_blind_rotate,
+    make_fused_blind_rotate,
+)
 from tfhe_omr_tpu.utils.devices import host_math
 
 
@@ -36,13 +43,14 @@ def small_lwe_pack():
     return skp, bsk1, bsk1_sh
 
 
-def test_fused_matches_lut(small_lwe_pack, rng):
-    from tfhe_omr_tpu.ops.pallas_cmux import FusedBlindRotate, bsk_digit_planes
+def test_fused_bit_identical_and_decrypts(small_lwe_pack, rng):
+    from tfhe_omr_tpu.ops.pallas_fused import make_bsk_balanced
 
     skp, bsk1, bsk1_sh = small_lwe_pack
     ctx = skp.ctx
     params = skp.params
     f, ntt, g = ctx.f1, ctx.ntt1, ctx.gadget_br1
+    q = f.q
     q0, t0v = 2048, 8
     msgs = [0, 4, 2, 0, 1, 4, 3, 0]
     avecs, bs = [], []
@@ -54,34 +62,23 @@ def test_fused_matches_lut(small_lwe_pack, rng):
     bs = np.asarray(bs)
     lut1 = jnp.asarray(ctx.lut1_ext, dtype=f.storage_dtype)
     acc0 = init_accumulator(f, lut1, jnp.asarray(bs), params.n1)
+    amounts = jnp.asarray(avecs.T)
 
-    fused = FusedBlindRotate(f, ntt, g.d, g.log_b, tile=8, interpret=True)
+    # XLA reference path
+    br_ref = make_blind_rotate(f, ntt, g, paired=False)
+    with host_math():
+        out_ref = np.asarray(br_ref(acc0, amounts, bsk1, bsk1_sh))
 
-    # square chains, same construction as ops.bootstrap
-    two_n = 2 * ntt.n
-    log2n = two_n.bit_length() - 1
-    q = f.q
-    pp = [pow(ntt.psi, 1 << j, q) for j in range(log2n)]
-    ppsh = [int(f.shoup(w)) for w in pp]
-    am = jnp.asarray(avecs.T)
-    base = jnp.ones(am.shape, dtype=f.storage_dtype)
-    for j in range(log2n):
-        bit = ((am >> j) & 1).astype(bool)
-        base = jnp.where(
-            bit, f.mul_shoup(base, jnp.int64(pp[j]), jnp.int64(ppsh[j])), base
-        )
-    sqs = [base]
-    for j in range(1, log2n):
-        sqs.append(f.mul(sqs[-1], sqs[-1]))
-    sq_all = jnp.stack(sqs).astype(jnp.int32)
+    # fused kernel, interpret mode
+    br_fused = make_fused_blind_rotate(f, ntt, g, interpret=True)
+    bsk_bal = jnp.asarray(make_bsk_balanced(np.asarray(bsk1), q))
+    out = np.asarray(br_fused(acc0, amounts, bsk_bal))
 
-    bskp = jnp.asarray(
-        bsk_digit_planes(np.asarray(bsk1), fused.levels).transpose(
-            1, 0, 2, 3, 4, 5
-        )
+    assert np.array_equal(out, out_ref), (
+        np.abs(out.astype(np.int64) - out_ref.astype(np.int64)).max()
     )
-    out = np.asarray(fused(acc0.astype(jnp.int32), sq_all, bskp))
 
+    # and the result decrypts to the LUT values
     t_out = 32
     delta1 = ((q >> (t_out.bit_length() - 2)) + 1) >> 1
     expected = {0: delta1, 4: q - delta1}

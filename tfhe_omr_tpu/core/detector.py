@@ -90,7 +90,7 @@ class Detector:
 
         use_fused = (
             os.environ.get("TFHE_OMR_FUSED", "0") == "1"
-            and self.key.bsk1_planes is not None
+            and self.key.bsk1_bal is not None
             and hasattr(ntt1, "_w0_f")
         )
         self._use_fused = use_fused
@@ -117,7 +117,7 @@ class Detector:
         assert q0 == 2 * n1, "clue modulus must equal 2*N1"
         assert q_inter == 2 * n2
 
-        def stage1(clue_a, clue_b7, bsk1, bsk1_sh, ksk_limbs, bsk1_planes):
+        def stage1(clue_a, clue_b7, bsk1, bsk1_sh, ksk_limbs, bsk1_bal):
             """Extract + first-level bootstrapping + key switch + mod switch.
 
             Counterpart of ``extract_clues_and_modulus_switch`` +
@@ -135,7 +135,7 @@ class Detector:
 
             acc = init_accumulator(f1, lut1_ext, b1, n1)
             if use_fused:
-                acc = br1_fused(acc, amounts1, bsk1_planes)
+                acc = br1_fused(acc, amounts1, bsk1_bal)
             else:
                 acc = br1(acc, amounts1, bsk1, bsk1_sh)
             # sum the 7 per-clue results (``detector.rs:556``)
@@ -169,7 +169,7 @@ class Detector:
         def detect(clue_a, clue_b7, key: DetectionKey):
             ms_a, ms_b = stage1(
                 clue_a, clue_b7, key.bsk1, key.bsk1_sh, key.ksk_limbs,
-                key.bsk1_planes,
+                key.bsk1_bal,
             )
             acc2 = stage2(ms_a, ms_b, key.bsk2, key.bsk2_sh)
             return stage3(acc2, key.trace_k, key.trace_k_sh)
@@ -199,7 +199,7 @@ class Detector:
         key = self.key
         ms_a, ms_b = self._stage1_jit(
             jnp.asarray(clues.a), jnp.asarray(clues.b7),
-            key.bsk1, key.bsk1_sh, key.ksk_limbs, key.bsk1_planes,
+            key.bsk1, key.bsk1_sh, key.ksk_limbs, key.bsk1_bal,
         )
         acc2 = self._stage2_jit(ms_a, ms_b, key.bsk2, key.bsk2_sh)
         return self._stage3_jit(acc2, key.trace_k, key.trace_k_sh)
@@ -213,7 +213,7 @@ class Detector:
         t0 = time.perf_counter()
         ms_a, ms_b = self._stage1_jit(
             jnp.asarray(clues.a), jnp.asarray(clues.b7),
-            key.bsk1, key.bsk1_sh, key.ksk_limbs, key.bsk1_planes,
+            key.bsk1, key.bsk1_sh, key.ksk_limbs, key.bsk1_bal,
         )
         jax.block_until_ready((ms_a, ms_b))
         t1 = time.perf_counter()

@@ -38,7 +38,7 @@ class DetectionKey(NamedTuple):
     bsk2_sh: jnp.ndarray
     trace_k: jnp.ndarray  # (rounds, N2, d_tr, 2) int64
     trace_k_sh: jnp.ndarray
-    bsk1_planes: jnp.ndarray | None = None  # (n0, L, N1, d1, 2, 2) int8
+    bsk1_bal: jnp.ndarray | None = None  # (n0, N1, 32) int32 balanced planes
 
 
 class ClueKey(NamedTuple):
@@ -174,23 +174,13 @@ class SecretKeyPack:
                 rng,
             )
             trace_k, trace_k_sh = self._gen_trace_key(rng)
-            # int8 digit planes of BSK1 for the fused Pallas kernel
-            bsk1_planes = None
+            # balanced-signed planes of BSK1 for the fused Pallas kernel
+            bsk1_bal = None
             if c.f1.bits <= 27:
-                from tfhe_omr_tpu.ops.pallas_ntt import DIGIT_BITS, DIGIT_MASK
+                from tfhe_omr_tpu.ops.pallas_fused import make_bsk_balanced
 
-                levels = -(-c.f1.bits // DIGIT_BITS)
-                b1 = np.asarray(bsk1)
-                bsk1_planes = jnp.asarray(
-                    np.stack(
-                        [
-                            ((b1 >> (DIGIT_BITS * k)) & DIGIT_MASK).astype(
-                                np.int8
-                            )
-                            for k in range(levels)
-                        ],
-                        axis=1,
-                    )
+                bsk1_bal = jnp.asarray(
+                    make_bsk_balanced(np.asarray(bsk1), c.f1.q)
                 )
         return to_accelerator(DetectionKey(
             bsk1=bsk1,
@@ -200,7 +190,7 @@ class SecretKeyPack:
             bsk2_sh=bsk2_sh,
             trace_k=trace_k,
             trace_k_sh=trace_k_sh,
-            bsk1_planes=bsk1_planes,
+            bsk1_bal=bsk1_bal,
         ))
 
     def _gen_bsk(self, lwe_sk, z_f, z_ntt, field, ntt, gadget, noise_std, rng):

@@ -32,43 +32,29 @@ from tfhe_omr_tpu.ops.modmath import PrimeField
 from tfhe_omr_tpu.ops.ntt import NegacyclicNtt
 
 
-def make_square_chains(field: PrimeField, ntt):
-    """Returns sq(amounts (n_steps, B)) -> (log2n, n_steps, B) psi^(a*2^j)."""
-    two_n = 2 * ntt.n
-    log2n = two_n.bit_length() - 1
-    q = field.q
-    pp = [pow(ntt.psi, 1 << j, q) for j in range(log2n)]
-    ppsh = [int(field.shoup(w)) for w in pp]
-
-    def square_chains(amounts):
-        one = jnp.ones(amounts.shape, dtype=field.storage_dtype)
-        base = one
-        for j in range(log2n):
-            bit = ((amounts >> j) & 1).astype(bool)
-            stepped = field.mul_shoup(
-                base, jnp.int64(pp[j]), jnp.int64(ppsh[j])
-            )
-            base = jnp.where(bit, stepped, base)
-        sqs = [base]
-        for j in range(1, log2n):
-            sqs.append(field.mul(sqs[-1], sqs[-1]))
-        return jnp.stack(sqs)
-
-    return square_chains
-
-
-def make_fused_blind_rotate(field: PrimeField, ntt, gadget: SignedGadget):
-    """Fused-kernel blind rotation (first level, TPU): same contract as
-    make_blind_rotate but consumes int8 BSK digit planes (n, L, N, d, 2, 2).
+def make_fused_blind_rotate(
+    field: PrimeField, ntt, gadget: SignedGadget, interpret: bool = False
+):
+    """Fused-kernel blind rotation (first level): same contract as
+    make_blind_rotate but consumes balanced BSK planes (n, N, 32) int32
+    (see :func:`tfhe_omr_tpu.ops.pallas_fused.make_bsk_balanced`).
+    Bit-identical to the XLA path.
     """
-    from tfhe_omr_tpu.ops.pallas_cmux import FusedBlindRotate
+    from tfhe_omr_tpu.ops.pallas_fused import FusedBlindRotateL1
 
-    fused = FusedBlindRotate(field, ntt, gadget.d, gadget.log_b)
-    square_chains = make_square_chains(field, ntt)
+    fused = FusedBlindRotateL1(
+        field, ntt, gadget.d, gadget.log_b, interpret=interpret
+    )
+    build_tables, _ = make_mono_powers(field, ntt)
 
-    def blind_rotate(acc, amounts, bsk_planes):
-        sq_all = square_chains(amounts).astype(jnp.int32)
-        return fused(acc.astype(jnp.int32), sq_all, bsk_planes)
+    def blind_rotate(acc, amounts, bsk_bal):
+        p1, p2 = build_tables(amounts)
+        return fused(
+            acc.astype(jnp.int32),
+            p1.astype(jnp.int32),
+            p2.astype(jnp.int32),
+            bsk_bal,
+        )
 
     return blind_rotate
 
