@@ -88,3 +88,53 @@ def test_fused_bit_identical_and_decrypts(small_lwe_pack, rng):
         )
         err = centered(int(dec[0]) - expected.get(m, 0), q)
         assert abs(err) < q // 256, (i, m, err)
+
+
+@pytest.fixture(scope="module")
+def small_l2_pack():
+    base = OmrParameters.default()
+    params = replace(
+        base,
+        intermediate_lwe=LweParams(16, 32, 4096, "binary", 0.5),
+    )
+    skp = SecretKeyPack(params, rng=5)
+    ctx = skp.ctx
+    with host_math():
+        bsk2, bsk2_sh = skp._gen_bsk(
+            skp._pair_bits(skp.inter_sk), skp.z2_f, skp.z2_ntt, ctx.f2,
+            ctx.ntt2, ctx.gadget_br2, params.second_level_br.noise_std,
+            skp.rng,
+        )
+    return skp, bsk2, bsk2_sh
+
+
+def test_fused_l2_bit_identical(small_l2_pack, rng):
+    from tfhe_omr_tpu.ops.bootstrap import make_fused_blind_rotate2
+    from tfhe_omr_tpu.ops.pallas_fused import make_bsk2_balanced
+
+    skp, bsk2, bsk2_sh = small_l2_pack
+    ctx = skp.ctx
+    params = skp.params
+    f, ntt, g = ctx.f2, ctx.ntt2, ctx.gadget_br2
+    q = f.q
+    n_int = params.intermediate_lwe.dimension
+    qi = params.intermediate_lwe.cipher_modulus
+    B = 8
+    avecs = rng.integers(0, qi, size=(n_int, B), dtype=np.int64)
+    bs = rng.integers(0, qi, size=(B,), dtype=np.int64)
+    lut2 = jnp.asarray(ctx.lut2_ext, dtype=f.storage_dtype)
+    acc0 = init_accumulator(f, lut2, jnp.asarray(bs), params.n2)
+    amounts = jnp.asarray(avecs)
+
+    br_ref = make_blind_rotate(f, ntt, g, paired=True)
+    with host_math():
+        out_ref = np.asarray(br_ref(acc0, amounts, bsk2, bsk2_sh))
+
+    br_fused = make_fused_blind_rotate2(f, ntt, g, interpret=True)
+    bsk_bal = jnp.asarray(make_bsk2_balanced(np.asarray(bsk2), q))
+    out = np.asarray(br_fused(acc0, amounts, bsk_bal))
+
+    assert np.array_equal(out, out_ref), (
+        int(np.abs(out.astype(np.int64) - out_ref.astype(np.int64)).max()),
+        int((out != out_ref).sum()),
+    )

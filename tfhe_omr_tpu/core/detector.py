@@ -36,6 +36,7 @@ from tfhe_omr_tpu.ops.bootstrap import (
     lwe_modulus_switch,
     make_blind_rotate,
     make_fused_blind_rotate,
+    make_fused_blind_rotate2,
     make_lwe_keyswitch,
     make_trace,
 )
@@ -93,9 +94,17 @@ class Detector:
             and self.key.bsk1_bal is not None
             and hasattr(ntt1, "_w0_f")
         )
+        use_fused2 = (
+            os.environ.get("TFHE_OMR_FUSED", "0") == "1"
+            and self.key.bsk2_bal is not None
+            and hasattr(ntt2, "_w0_f")
+        )
         self._use_fused = use_fused
+        self._use_fused2 = use_fused2
         if use_fused:
             br1_fused = make_fused_blind_rotate(f1, ntt1, ctx.gadget_br1)
+        if use_fused2:
+            br2_fused = make_fused_blind_rotate2(f2, ntt2, ctx.gadget_br2)
         # L1's NTT is already cheap (fused Pallas kernel), so the pairwise
         # trick's 3x mono/MAC overhead loses there; L2's NTT still dominates
         # and pairing wins ~26%.
@@ -148,10 +157,12 @@ class Detector:
             ms_b = (ms_b + inter_offset) & (q_inter - 1)
             return ms_a, ms_b
 
-        def stage2(ms_a, ms_b, bsk2, bsk2_sh):
+        def stage2(ms_a, ms_b, bsk2, bsk2_sh, bsk2_bal):
             """Second-level blind rotation (``detector.rs:599-624``; the
             mod-switch-to-2N2 guard at ``:612`` is a no-op here)."""
             acc2 = init_accumulator(f2, lut2_ext, ms_b, n2)
+            if use_fused2:
+                return br2_fused(acc2, ms_a.T, bsk2_bal)
             return br2(acc2, ms_a.T, bsk2, bsk2_sh)
 
         def stage3(acc2, trace_k, trace_k_sh):
@@ -171,7 +182,7 @@ class Detector:
                 clue_a, clue_b7, key.bsk1, key.bsk1_sh, key.ksk_limbs,
                 key.bsk1_bal,
             )
-            acc2 = stage2(ms_a, ms_b, key.bsk2, key.bsk2_sh)
+            acc2 = stage2(ms_a, ms_b, key.bsk2, key.bsk2_sh, key.bsk2_bal)
             return stage3(acc2, key.trace_k, key.trace_k_sh)
 
         self._detect_fn = detect
@@ -201,7 +212,7 @@ class Detector:
             jnp.asarray(clues.a), jnp.asarray(clues.b7),
             key.bsk1, key.bsk1_sh, key.ksk_limbs, key.bsk1_bal,
         )
-        acc2 = self._stage2_jit(ms_a, ms_b, key.bsk2, key.bsk2_sh)
+        acc2 = self._stage2_jit(ms_a, ms_b, key.bsk2, key.bsk2_sh, key.bsk2_bal)
         return self._stage3_jit(acc2, key.trace_k, key.trace_k_sh)
 
     def detect_with_time_info(self, clues: ClueBatch):
@@ -217,7 +228,7 @@ class Detector:
         )
         jax.block_until_ready((ms_a, ms_b))
         t1 = time.perf_counter()
-        acc2 = self._stage2_jit(ms_a, ms_b, key.bsk2, key.bsk2_sh)
+        acc2 = self._stage2_jit(ms_a, ms_b, key.bsk2, key.bsk2_sh, key.bsk2_bal)
         jax.block_until_ready(acc2)
         t2 = time.perf_counter()
         out = self._stage3_jit(acc2, key.trace_k, key.trace_k_sh)

@@ -39,6 +39,7 @@ class DetectionKey(NamedTuple):
     trace_k: jnp.ndarray  # (rounds, N2, d_tr, 2) int64
     trace_k_sh: jnp.ndarray
     bsk1_bal: jnp.ndarray | None = None  # (n0, N1, 32) int32 balanced planes
+    bsk2_bal: jnp.ndarray | None = None  # (n_int/2, N2, 288) int16
 
 
 class ClueKey(NamedTuple):
@@ -174,13 +175,20 @@ class SecretKeyPack:
                 rng,
             )
             trace_k, trace_k_sh = self._gen_trace_key(rng)
-            # balanced-signed planes of BSK1 for the fused Pallas kernel
+            # balanced-signed planes of BSK1/BSK2 for the fused Pallas kernels
             bsk1_bal = None
             if c.f1.bits <= 27:
                 from tfhe_omr_tpu.ops.pallas_fused import make_bsk_balanced
 
                 bsk1_bal = jnp.asarray(
                     make_bsk_balanced(np.asarray(bsk1), c.f1.q)
+                )
+            bsk2_bal = None
+            if c.f2.bits == 50:
+                from tfhe_omr_tpu.ops.pallas_fused import make_bsk2_balanced
+
+                bsk2_bal = jnp.asarray(
+                    make_bsk2_balanced(np.asarray(bsk2), c.f2.q)
                 )
         return to_accelerator(DetectionKey(
             bsk1=bsk1,
@@ -191,6 +199,7 @@ class SecretKeyPack:
             trace_k=trace_k,
             trace_k_sh=trace_k_sh,
             bsk1_bal=bsk1_bal,
+            bsk2_bal=bsk2_bal,
         ))
 
     def _gen_bsk(self, lwe_sk, z_f, z_ntt, field, ntt, gadget, noise_std, rng):

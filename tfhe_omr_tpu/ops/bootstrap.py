@@ -59,6 +59,54 @@ def make_fused_blind_rotate(
     return blind_rotate
 
 
+def make_fused_blind_rotate2(
+    field: PrimeField, ntt, gadget: SignedGadget, interpret: bool = False
+):
+    """Fused-kernel PAIRED blind rotation (second level, 50-bit field):
+    same contract as make_blind_rotate(paired=True) but consumes balanced
+    BSK planes (n_steps, N, 288) int16 (see
+    :func:`tfhe_omr_tpu.ops.pallas_fused.make_bsk2_balanced`).
+    Bit-identical to the XLA path.
+    """
+    from tfhe_omr_tpu.ops.pallas_fused import FusedBlindRotateL2
+
+    fused = FusedBlindRotateL2(
+        field, ntt, gadget.d, gadget.log_b, interpret=interpret
+    )
+    build_tables, _ = make_mono_powers(field, ntt)
+    two_n = 2 * ntt.n
+    m25 = jnp.int64((1 << 25) - 1)
+
+    def to_limbs6(p):
+        """(n_e, 3*n_steps, B) int64 -> (n_steps, 6, n_e, B) int32."""
+        n_e, rows, b = p.shape
+        pt = p.transpose(1, 0, 2).reshape(rows // 3, 3, n_e, b)
+        lo = (pt & m25).astype(jnp.int32)
+        hi = (pt >> 25).astype(jnp.int32)
+        return jnp.stack([lo, hi], axis=2).reshape(rows // 3, 6, n_e, b)
+
+    def blind_rotate(acc, amounts, bsk_bal):
+        n_lwe = amounts.shape[0]
+        assert n_lwe % 2 == 0
+        a0 = amounts[0::2]
+        a1 = amounts[1::2]
+        a01 = (a0 + a1) % two_n
+        amounts_r = jnp.stack([a0, a1, a01], axis=1).reshape(
+            3 * (n_lwe // 2), amounts.shape[1]
+        )
+        p1, p2 = build_tables(amounts_r)
+        acc = acc.astype(jnp.int64)
+        acc_t = acc.transpose(1, 0, 2)  # (2, N, B)
+        acc_l = jnp.stack(
+            [(acc_t & m25).astype(jnp.int32), (acc_t >> 25).astype(jnp.int32)]
+        )  # (2, 2, N, B)
+        out = fused(acc_l, to_limbs6(p1), to_limbs6(p2), bsk_bal)
+        val = out[0].astype(jnp.int64) + (out[1].astype(jnp.int64) << 25)
+        return val.transpose(1, 0, 2)  # (N, 2, B)
+
+    return blind_rotate
+
+
 def make_mono_powers(field: PrimeField, ntt):
     """Factored power tables for the NTT-domain monomial multiplier.
 

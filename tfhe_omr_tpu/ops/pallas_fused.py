@@ -83,9 +83,13 @@ class FusedBlindRotateL1:
         tile: int = 128,
         interpret: bool = False,
         skip: frozenset = frozenset(),
+        batched_dot: bool = False,
     ):
         assert field.bits <= 27
         self.skip = skip  # timing ablations: {"dec","fwd","mono","mac","intt"}
+        #: lower the per-k0 level-1 NTT dots as ONE batched dot_general over
+        #: the k0 axis instead of r unrolled small matmuls
+        self.batched_dot = batched_dot
         self.field = field
         self.ntt = ntt
         self.d = d
@@ -192,6 +196,30 @@ class FusedBlindRotateL1:
                 groups[s] = blk if groups[s] is None else groups[s] + blk
         return self._horner7(groups)
 
+    def _level1_batched(self, x3, w1k):
+        """Per-k0 twiddle-folded level as ONE batched dot_general.
+
+        x3 (r, c, M) int32 in [0, q); w1k (r, L*c, c) int8.
+        Returns (r, c, M) int32 in [0, q)."""
+        L = self.levels
+        c = self.c
+        groups = [None] * (2 * L - 1)
+        for a in range(L):
+            pa = (
+                (x3 >> jnp.int32(DIGIT_BITS * a)) & jnp.int32(DIGIT_MASK)
+            ).astype(jnp.int8)
+            p = jax.lax.dot_general(
+                w1k,
+                pa,
+                (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.int32,
+            )  # (r, L*c, M)
+            for b in range(L):
+                s = a + b
+                blk = p[:, b * c : (b + 1) * c, :]
+                groups[s] = blk if groups[s] is None else groups[s] + blk
+        return self._horner7(groups)
+
     def _decompose_digits(self, x):
         """Exact balanced signed base-2**log_b digits of x in [0, q).
 
@@ -287,10 +315,15 @@ class FusedBlindRotateL1:
                     )
                 # level 1: per-k0 twiddle-folded matrices, full-range input
                 av = a_s[:].reshape(r, c, jc * bt)
-                for k0 in range(r):
-                    dig_s[k0 * c : (k0 + 1) * c, :] = self._level_dot(
-                        self._planes7(av[k0]), w1f_ref[k0], c
+                if self.batched_dot:
+                    dig_s[:] = self._level1_batched(av, w1f_ref[:]).reshape(
+                        n, jc * bt
                     )
+                else:
+                    for k0 in range(r):
+                        dig_s[k0 * c : (k0 + 1) * c, :] = self._level_dot(
+                            self._planes7(av[k0]), w1f_ref[k0], c
+                        )
 
             # ---- 3. mono multiplier values (N, Bt)
             if "mono" not in skip:
@@ -332,11 +365,21 @@ class FusedBlindRotateL1:
             # ---- 5. inverse NTT of p_s -> delta, accumulate into acc_s
             if "intt" not in skip:
                 pv = p_s[:].reshape(r, c, 2 * bt)
-                for k0 in range(r):
-                    y_s[k0 : k0 + 1, :] = self._level_dot(
-                        self._planes7(pv[k0]), w1i_ref[k0], c
-                    ).reshape(1, c * 2 * bt)
-                z = self._level_dot(self._planes7(y_s[:]), w0i_ref[:], r)
+                if self.batched_dot:
+                    y3 = self._level1_batched(pv, w1i_ref[:])
+                    z = self._level_dot(
+                        self._planes7(y3.reshape(r, c * 2 * bt)),
+                        w0i_ref[:],
+                        r,
+                    )
+                else:
+                    for k0 in range(r):
+                        y_s[k0 : k0 + 1, :] = self._level_dot(
+                            self._planes7(pv[k0]), w1i_ref[k0], c
+                        ).reshape(1, c * 2 * bt)
+                    z = self._level_dot(
+                        self._planes7(y_s[:]), w0i_ref[:], r
+                    )
                 delta = z.reshape(n, 2, bt).transpose(1, 0, 2)
             else:
                 delta = p_s[:].reshape(n, 2, bt).transpose(1, 0, 2)
@@ -421,3 +464,522 @@ class FusedBlindRotateL1:
 
     def __call__(self, acc, p1, p2, bsk_bal):
         return self._call(acc, p1, p2, bsk_bal)
+
+
+# ---------------------------------------------------------------------------
+# Second level: dual-limb (q < 2**50), paired CMUX (3 RGSW rows per step)
+# ---------------------------------------------------------------------------
+
+
+def make_bsk2_balanced(bsk_int, q: int):
+    """Host prep: (3*n_steps, N, d, 2, 2) int64 BSK in [0, q), q < 2**50
+    -> (n_steps, N, 4*3*d*2*2) int16 balanced 13-bit planes.
+
+    k' = k - q*(k > q/2) in (-q/2, q/2]; signed base-2**13 digits v0..v3 with
+    |v_a| <= 2**12. Column layout ((a*3 + t)*(2d) + (j*2 + cc))*2 + o.
+    """
+    rows, n, d, c2, o2 = bsk_int.shape
+    assert rows % 3 == 0
+    n_steps = rows // 3
+    kb = bsk_int.astype(np.int64)
+    kb = kb - q * (kb > q // 2)
+    planes = []
+    r = kb
+    for _ in range(3):
+        v = ((r + (1 << 12)) & 8191) - (1 << 12)
+        planes.append(v)
+        r = (r - v) >> 13
+    planes.append(r)  # |v3| small
+    p = np.stack(planes, axis=0)  # (4, 3*n_steps, N, d, 2, 2)
+    p = p.reshape(4, n_steps, 3, n, d, 2, 2)
+    # -> (n_steps, N, a, t, d, cc, o) -> (n_steps, N, 288)
+    p = p.transpose(1, 3, 0, 2, 4, 5, 6).reshape(n_steps, n, 4 * 3 * d * 4)
+    return p.astype(np.int16)
+
+
+class FusedBlindRotateL2:
+    """Paired blind rotation for the 50-bit field as one Pallas kernel.
+
+    All in-kernel arithmetic is int32 on 25-bit limb pairs (Mosaic has no
+    int64); the gadget rounding replicates ``SignedGadget.decompose``'s
+    ``((x >> 2) * eps) >> 48`` correction EXACTLY in 13-bit limbs, so the
+    kernel is bit-identical to the XLA ``make_blind_rotate(paired=True)``
+    path built on the same PallasNtt50 instance.
+    """
+
+    def __init__(
+        self,
+        field: PrimeField,
+        ntt,
+        d: int,
+        log_b: int,
+        tile: int = 128,
+        interpret: bool = False,
+        skip: frozenset = frozenset(),
+    ):
+        assert field.bits == 50
+        self.field = field
+        self.ntt = ntt
+        self.d = d
+        self.log_b = log_b
+        self.tile = tile
+        self.interpret = interpret
+        self.skip = skip
+        self.n = ntt.n
+        self.r = ntt.r
+        self.c = ntt.c
+        self.levels = ntt.levels  # 8 unsigned 7-bit planes
+        two_n = 2 * ntt.n
+        self.log2n = two_n.bit_length() - 1
+        lo_bits = self.log2n // 2
+        self.n_lo = 1 << lo_bits
+        self.n_hi = two_n >> lo_bits
+        orders_np = np.asarray(ntt.orders)
+        oh_lo = np.zeros((self.n, self.n_lo), dtype=np.int8)
+        oh_lo[np.arange(self.n), orders_np % self.n_lo] = 1
+        oh_hi = np.zeros((self.n, self.n_hi), dtype=np.int8)
+        oh_hi[np.arange(self.n), orders_np >> lo_bits] = 1
+        self._oh_lo = jnp.asarray(oh_lo)
+        self._oh_hi = jnp.asarray(oh_hi)
+        q = field.q
+        self._q_lo = q & ((1 << 25) - 1)
+        self._q_hi = q >> 25
+        qh = q // 2
+        self._qh_lo = qh & ((1 << 25) - 1)
+        self._qh_hi = qh >> 25
+        self._call = self._make_call()
+
+    # ------------------------------------------------------ limb arithmetic
+    def _bal13(self, lo, hi):
+        """Canonical (lo, hi) in [0, q) -> 4 signed 13-bit planes of the
+        centered representative in (-q/2, q/2]."""
+        gt = (hi > self._qh_hi) | (
+            (hi == self._qh_hi) & (lo > self._qh_lo)
+        )
+        gi = gt.astype(jnp.int32)
+        s_lo = lo - gi * jnp.int32(self._q_lo)
+        s_hi = hi - gi * jnp.int32(self._q_hi)
+        m13 = jnp.int32(8191)
+        h12 = jnp.int32(1 << 12)
+        d0 = ((s_lo + h12) & m13) - h12
+        u0 = s_hi & m13
+        u1 = s_hi >> 13
+        t1 = ((s_lo - d0) >> 13) + (u0 << 12)
+        d1 = ((t1 + h12) & m13) - h12
+        t2 = ((t1 - d1) >> 13) + (u1 << 12)
+        d2 = ((t2 + h12) & m13) - h12
+        d3 = (t2 - d2) >> 13
+        return [d0, d1, d2, d3]
+
+    def _horner_dual(self, groups, radix: int):
+        """Recombine radix-2**radix-spaced signed int32 groups mod q.
+
+        Returns canonical (lo, hi) 25-bit limbs. |group| must be < 2**30.
+        """
+        eps = jnp.int32(self.field.eps)
+        m25 = jnp.int32((1 << 25) - 1)
+        sh = 25 - radix
+        msh = jnp.int32((1 << sh) - 1)
+        alo = groups[-1]
+        ahi = jnp.zeros_like(alo)
+        for s in range(len(groups) - 2, -1, -1):
+            lo2 = ((alo & msh) << radix) + (ahi >> sh) * eps + groups[s]
+            hi2 = ((ahi & msh) << radix) + (alo >> sh)
+            cr = lo2 >> 25
+            alo = lo2 - (cr << 25)
+            ahi = hi2 + cr
+        # canonicalize: add 2q, normalize, subtract q up to 3 times
+        alo = alo + jnp.int32((2 * self.field.q) & ((1 << 25) - 1))
+        ahi = ahi + jnp.int32((2 * self.field.q) >> 25)
+        cr = alo >> 25
+        alo = alo - (cr << 25)
+        ahi = ahi + cr
+        q_lo = jnp.int32(self._q_lo)
+        q_hi = jnp.int32(self._q_hi)
+        for _ in range(3):
+            ge = (ahi > q_hi) | ((ahi == q_hi) & (alo >= q_lo))
+            gi = ge.astype(jnp.int32)
+            lo2 = alo - gi * q_lo
+            neg = (lo2 < 0).astype(jnp.int32)
+            alo = lo2 + (neg << 25)
+            ahi = ahi - gi * q_hi - neg
+        return alo, ahi
+
+    def _mul_bal(self, ap, bp, extra_groups=None):
+        """Product of two balanced-plane sets -> canonical limbs."""
+        groups = [None] * 7
+        for a in range(4):
+            for b in range(4):
+                s = a + b
+                t = ap[a] * bp[b]
+                groups[s] = t if groups[s] is None else groups[s] + t
+        if extra_groups is not None:
+            for s in range(7):
+                extra_groups[s] = (
+                    groups[s]
+                    if extra_groups[s] is None
+                    else extra_groups[s] + groups[s]
+                )
+            return extra_groups
+        return self._horner_dual(groups, 13)
+
+    def _digit_planes8(self, lo, hi):
+        """8 unsigned 7-bit int8 planes of canonical limbs (PallasNtt50)."""
+        m21 = jnp.int32((1 << 21) - 1)
+        lo21 = lo & m21
+        hi21 = (hi << 4) | (lo >> 21)
+        planes = []
+        for a in range(3):
+            planes.append(
+                ((lo21 >> (7 * a)) & jnp.int32(127)).astype(jnp.int8)
+            )
+        for a in range(5):
+            planes.append(
+                ((hi21 >> (7 * a)) & jnp.int32(127)).astype(jnp.int8)
+            )
+        return planes
+
+    def _corr50(self, lo, hi):
+        """EXACT ((x >> 2) * eps) >> 48 in int32 (x = lo + 2**25 hi)."""
+        eps = jnp.int32(self.field.eps)
+        y_lo = (lo >> 2) | ((hi & 3) << 23)
+        y_hi = hi >> 2
+        m13 = jnp.int32(8191)
+        t0 = y_lo & m13
+        t1 = (y_lo >> 13) | ((y_hi & 1) << 12)
+        t2 = (y_hi >> 1) & m13
+        t3 = y_hi >> 14
+        s0 = t0 * eps
+        s1 = t1 * eps + (s0 >> 13)
+        s2 = t2 * eps + (s1 >> 13)
+        s3 = t3 * eps + (s2 >> 13)
+        return s3 >> 9
+
+    def _decompose_dual(self, lo, hi):
+        """Balanced signed base-2**7 digits (d of them), bit-identical to
+        SignedGadget.decompose for the 50-bit field."""
+        shift = self.field.bits - self.d * self.log_b  # 8
+        corr = self._corr50(lo, hi)
+        m25 = jnp.int32((1 << 25) - 1)
+        t = lo + corr + jnp.int32(1 << (shift - 1))
+        c0 = t >> 25
+        t = t & m25
+        h = hi + c0
+        u_lo = (t >> shift) + (
+            (h & jnp.int32((1 << shift) - 1)) << (25 - shift)
+        )
+        u_hi = h >> shift
+        bmask = jnp.int32((1 << self.log_b) - 1)
+        half_b = jnp.int32(1 << (self.log_b - 1))
+        digs = []
+        for _ in range(self.d):
+            dj = u_lo & bmask
+            u_lo = (u_lo >> self.log_b) + (
+                (u_hi & bmask) << (25 - self.log_b)
+            )
+            u_hi = u_hi >> self.log_b
+            carry = (dj >= half_b).astype(jnp.int32)
+            digs.append(dj - (carry << self.log_b))
+            u_lo = u_lo + carry
+        return digs
+
+    def _level_dot_dual(self, x_planes, w_planes, out_rows):
+        """NTT level: x_planes (list of int8 (rows, X)), dual-limb output."""
+        L = self.levels
+        in_levels = len(x_planes)
+        groups = [None] * (in_levels + L - 1)
+        for a in range(in_levels):
+            p = jax.lax.dot_general(
+                w_planes,
+                x_planes[a],
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )
+            for b in range(L):
+                s = a + b
+                blk = p[b * out_rows : (b + 1) * out_rows]
+                groups[s] = blk if groups[s] is None else groups[s] + blk
+        return self._horner_dual(groups, 7)
+
+    def _onehot_dual(self, oh, tab_lo, tab_hi):
+        """Select (N,) rows: tab limbs (n_e, Bt) -> limbs (N, Bt), exact."""
+        n, bt = self.n, tab_lo.shape[1]
+        outs = []
+        for tab in (tab_lo, tab_hi):
+            planes = [
+                ((tab >> jnp.int32(7 * a)) & jnp.int32(127)).astype(jnp.int8)
+                for a in range(4)
+            ]
+            x = jnp.concatenate(planes, axis=1)  # (n_e, 4*Bt)
+            sel = jax.lax.dot_general(
+                oh, x, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )
+            v = sel[:, 0:bt]
+            for a in range(1, 4):
+                v = v + (sel[:, a * bt : (a + 1) * bt] << (7 * a))
+            outs.append(v)
+        return outs[0], outs[1]
+
+    def _sub_one(self, lo, hi):
+        """(lo, hi) - 1 mod q."""
+        lo2 = lo - 1
+        neg = (lo2 < 0).astype(jnp.int32)
+        lo2 = lo2 + (neg << 25)
+        hi2 = hi - neg
+        under = (hi2 < 0).astype(jnp.int32)
+        lo3 = lo2 + under * jnp.int32(self._q_lo)
+        cr = lo3 >> 25
+        lo3 = lo3 - (cr << 25)
+        hi3 = hi2 + under * jnp.int32(self._q_hi) + cr
+        return lo3, hi3
+
+    # ---------------------------------------------------------------- kernel
+    def _make_call(self):
+        n, r, c, d = self.n, self.r, self.c, self.d
+        pn = self.ntt
+        w0f, w1f = pn._w0_f, pn._w1_f
+        w0i, w1i = pn._w0_i, pn._w1_i
+        oh_lo, oh_hi = self._oh_lo, self._oh_hi
+        jc = 2 * d
+        lvl0_chunk = 8192
+
+        def kernel(
+            w0f_ref, w1f_ref, w0i_ref, w1i_ref, ohlo_ref, ohhi_ref,
+            acc_ref, p1_ref, p2_ref, bsk_ref,
+            o_ref,
+            acc_s, dig_s, alo_s, ahi_s, dnlo_s, dnhi_s, plo_s, phi_s,
+        ):
+            step = pl.program_id(1)
+            n_steps = pl.num_programs(1)
+            bt = acc_ref.shape[3]
+            skip = self.skip
+
+            @pl.when(step == 0)
+            def _():
+                acc_s[:] = acc_ref[:]
+
+            # ---- 1. decompose both polys -> dig_s (N, jc*Bt) signed digits
+            if "dec" not in skip:
+                for cc in range(2):
+                    digs = self._decompose_dual(
+                        acc_s[0, cc], acc_s[1, cc]
+                    )
+                    for j in range(d):
+                        dig_s[
+                            :, (j * 2 + cc) * bt : (j * 2 + cc + 1) * bt
+                        ] = digs[j]
+
+            # ---- 2. forward NTT (signed single plane -> dual-limb out)
+            if "fwd" not in skip:
+                xv = dig_s[:].reshape(r, c * jc * bt)
+                for s0 in range(0, c * jc * bt, lvl0_chunk):
+                    e0 = min(c * jc * bt, s0 + lvl0_chunk)
+                    lo_o, hi_o = self._level_dot_dual(
+                        [xv[:, s0:e0].astype(jnp.int8)], w0f_ref[:], r
+                    )
+                    alo_s[:, s0:e0] = lo_o
+                    ahi_s[:, s0:e0] = hi_o
+                av_lo = alo_s[:].reshape(r, c, jc * bt)
+                av_hi = ahi_s[:].reshape(r, c, jc * bt)
+                for k0 in range(r):
+                    lo_o, hi_o = self._level_dot_dual(
+                        self._digit_planes8(av_lo[k0], av_hi[k0]),
+                        w1f_ref[k0],
+                        c,
+                    )
+                    dnlo_s[k0 * c : (k0 + 1) * c, :] = lo_o
+                    dnhi_s[k0 * c : (k0 + 1) * c, :] = hi_o
+
+            # ---- 3. mono multipliers (3 rows), balanced planes
+            mono_bal = []
+            for t in range(3):
+                if "mono" not in skip:
+                    s1l, s1h = self._onehot_dual(
+                        ohlo_ref[:], p1_ref[0, 2 * t], p1_ref[0, 2 * t + 1]
+                    )
+                    s2l, s2h = self._onehot_dual(
+                        ohhi_ref[:], p2_ref[0, 2 * t], p2_ref[0, 2 * t + 1]
+                    )
+                    mlo, mhi = self._mul_bal(
+                        self._bal13(s1l, s1h), self._bal13(s2l, s2h)
+                    )
+                    mlo, mhi = self._sub_one(mlo, mhi)
+                else:
+                    mlo = p1_ref[0, 2 * t, 0:1, :] + jnp.zeros(
+                        (n, bt), jnp.int32
+                    )
+                    mhi = jnp.zeros((n, bt), jnp.int32)
+                mono_bal.append(self._bal13(mlo, mhi))
+
+            # ---- 4. MAC (+ mono, + pair sum) -> p limbs
+            if "mac" not in skip:
+                kb = bsk_ref[0]  # (N, 288) int16 balanced planes
+                fin = [[None] * 7, [None] * 7]  # per-o final groups
+                for t in range(3):
+                    for o in range(2):
+                        groups = [None] * 7
+                        for jj in range(jc):
+                            vp = self._bal13(
+                                dnlo_s[:, jj * bt : (jj + 1) * bt],
+                                dnhi_s[:, jj * bt : (jj + 1) * bt],
+                            )
+                            for a in range(4):
+                                col = ((a * 3 + t) * jc + jj) * 2 + o
+                                kcol = kb[:, col : col + 1].astype(jnp.int32)
+                                for b in range(4):
+                                    s_ = a + b
+                                    tt = vp[b] * kcol
+                                    groups[s_] = (
+                                        tt
+                                        if groups[s_] is None
+                                        else groups[s_] + tt
+                                    )
+                        plo, phi = self._horner_dual(groups, 13)
+                        fin[o] = self._mul_bal(
+                            self._bal13(plo, phi),
+                            mono_bal[t],
+                            extra_groups=fin[o],
+                        )
+                for o in range(2):
+                    plo, phi = self._horner_dual(fin[o], 13)
+                    plo_s[:, o * bt : (o + 1) * bt] = plo
+                    phi_s[:, o * bt : (o + 1) * bt] = phi
+
+            # ---- 5. inverse NTT + accumulate
+            if "intt" not in skip:
+                pv_lo = plo_s[:].reshape(r, c, 2 * bt)
+                pv_hi = phi_s[:].reshape(r, c, 2 * bt)
+                for k0 in range(r):
+                    lo_o, hi_o = self._level_dot_dual(
+                        self._digit_planes8(pv_lo[k0], pv_hi[k0]),
+                        w1i_ref[k0],
+                        c,
+                    )
+                    # y staging reuses the a_s scratch (first c*2*bt cols)
+                    alo_s[k0 : k0 + 1, 0 : c * 2 * bt] = lo_o.reshape(
+                        1, c * 2 * bt
+                    )
+                    ahi_s[k0 : k0 + 1, 0 : c * 2 * bt] = hi_o.reshape(
+                        1, c * 2 * bt
+                    )
+                zlo_parts = []
+                zhi_parts = []
+                y_lo = alo_s[:, 0 : c * 2 * bt]
+                y_hi = ahi_s[:, 0 : c * 2 * bt]
+                for s0 in range(0, c * 2 * bt, lvl0_chunk):
+                    e0 = min(c * 2 * bt, s0 + lvl0_chunk)
+                    lo_o, hi_o = self._level_dot_dual(
+                        self._digit_planes8(
+                            y_lo[:, s0:e0], y_hi[:, s0:e0]
+                        ),
+                        w0i_ref[:],
+                        r,
+                    )
+                    zlo_parts.append(lo_o)
+                    zhi_parts.append(hi_o)
+                zlo = jnp.concatenate(zlo_parts, axis=1).reshape(n, 2, bt)
+                zhi = jnp.concatenate(zhi_parts, axis=1).reshape(n, 2, bt)
+                d_lo = zlo.transpose(1, 0, 2)
+                d_hi = zhi.transpose(1, 0, 2)
+            else:
+                d_lo = plo_s[:].reshape(n, 2, bt).transpose(1, 0, 2)
+                d_hi = phi_s[:].reshape(n, 2, bt).transpose(1, 0, 2)
+
+            # dual-limb add + conditional subtract
+            s_lo = acc_s[0] + d_lo
+            s_hi = acc_s[1] + d_hi + (s_lo >> 25)
+            s_lo = s_lo & jnp.int32((1 << 25) - 1)
+            q_lo = jnp.int32(self._q_lo)
+            q_hi = jnp.int32(self._q_hi)
+            ge = (s_hi > q_hi) | ((s_hi == q_hi) & (s_lo >= q_lo))
+            gi = ge.astype(jnp.int32)
+            lo2 = s_lo - gi * q_lo
+            neg = (lo2 < 0).astype(jnp.int32)
+            new_lo = lo2 + (neg << 25)
+            new_hi = s_hi - gi * q_hi - neg
+            acc_s[0] = new_lo
+            acc_s[1] = new_hi
+
+            @pl.when(step == n_steps - 1)
+            def _():
+                o_ref[0] = new_lo
+                o_ref[1] = new_hi
+
+        def call(acc_limbs, p1l, p2l, bsk_bal):
+            """acc_limbs (2, 2, N, B) int32 [limb, o, n, b];
+            p1l/p2l (n_steps, 6, n_e, B) int32 [(t, limb) rows];
+            bsk_bal (n_steps, N, 288) int16 -> (2, 2, N, B) int32."""
+            _, _, n_, b = acc_limbs.shape
+            n_steps = bsk_bal.shape[0]
+            tile = min(self.tile, b)
+            assert b % tile == 0, (b, tile)
+            i32 = jnp.int32
+            grid = (b // tile, n_steps)
+            const_spec = lambda arr: pl.BlockSpec(
+                arr.shape,
+                lambda i, s, _nd=arr.ndim: (i32(0),) * _nd,
+                memory_space=pltpu.VMEM,
+            )
+            out = pl.pallas_call(
+                kernel,
+                out_shape=jax.ShapeDtypeStruct((2, 2, n_, b), jnp.int32),
+                grid=grid,
+                in_specs=[
+                    const_spec(w0f),
+                    const_spec(w1f),
+                    const_spec(w0i),
+                    const_spec(w1i),
+                    const_spec(oh_lo),
+                    const_spec(oh_hi),
+                    pl.BlockSpec(
+                        (2, 2, n_, tile),
+                        lambda i, s: (i32(0), i32(0), i32(0), i.astype(i32)),
+                        memory_space=pltpu.VMEM,
+                    ),
+                    pl.BlockSpec(
+                        (1, 6, self.n_lo, tile),
+                        lambda i, s: (
+                            s.astype(i32), i32(0), i32(0), i.astype(i32)
+                        ),
+                        memory_space=pltpu.VMEM,
+                    ),
+                    pl.BlockSpec(
+                        (1, 6, self.n_hi, tile),
+                        lambda i, s: (
+                            s.astype(i32), i32(0), i32(0), i.astype(i32)
+                        ),
+                        memory_space=pltpu.VMEM,
+                    ),
+                    pl.BlockSpec(
+                        (1, n_, 288),
+                        lambda i, s: (s.astype(i32), i32(0), i32(0)),
+                        memory_space=pltpu.VMEM,
+                    ),
+                ],
+                out_specs=pl.BlockSpec(
+                    (2, 2, n_, tile),
+                    lambda i, s: (i32(0), i32(0), i32(0), i.astype(i32)),
+                    memory_space=pltpu.VMEM,
+                ),
+                scratch_shapes=[
+                    pltpu.VMEM((2, 2, n_, tile), jnp.int32),       # acc_s
+                    pltpu.VMEM((n_, jc * tile), jnp.int32),        # dig_s
+                    pltpu.VMEM((r, c * jc * tile), jnp.int32),     # alo_s
+                    pltpu.VMEM((r, c * jc * tile), jnp.int32),     # ahi_s
+                    pltpu.VMEM((n_, jc * tile), jnp.int32),        # dnlo_s
+                    pltpu.VMEM((n_, jc * tile), jnp.int32),        # dnhi_s
+                    pltpu.VMEM((n_, 2 * tile), jnp.int32),         # plo_s
+                    pltpu.VMEM((n_, 2 * tile), jnp.int32),         # phi_s
+                ],
+                compiler_params=pltpu.CompilerParams(
+                    vmem_limit_bytes=127 * 1024 * 1024,
+                ),
+                interpret=self.interpret,
+            )(w0f, w1f, w0i, w1i, oh_lo, oh_hi, acc_limbs, p1l, p2l, bsk_bal)
+            return out
+
+        return call
+
+    def __call__(self, acc_limbs, p1l, p2l, bsk_bal):
+        return self._call(acc_limbs, p1l, p2l, bsk_bal)
