@@ -89,21 +89,31 @@ class Detector:
 
         import os
 
-        use_fused = (
-            os.environ.get("TFHE_OMR_FUSED", "0") == "1"
+        # Fused Pallas blind rotation: on by default on accelerator backends
+        # (TFHE_OMR_FUSED=0 forces the XLA path, =1 forces the kernels even
+        # off-TPU / at unaligned batches). In auto mode a given trace uses
+        # the kernel only when its batch fills whole 128-lane tiles; smaller
+        # batches (e.g. the driver's single-chip compile check) fall back to
+        # the XLA path, which Mosaic-free compiles anywhere.
+        fused_env = os.environ.get("TFHE_OMR_FUSED")
+        forced = fused_env == "1"
+        can_fused = (
+            fused_env != "0"
             and self.key.bsk1_bal is not None
             and hasattr(ntt1, "_w0_f")
+            and (forced or jax.default_backend() != "cpu")
         )
-        use_fused2 = (
-            os.environ.get("TFHE_OMR_FUSED", "0") == "1"
+        can_fused2 = (
+            fused_env != "0"
             and self.key.bsk2_bal is not None
             and hasattr(ntt2, "_w0_f")
+            and (forced or jax.default_backend() != "cpu")
         )
-        self._use_fused = use_fused
-        self._use_fused2 = use_fused2
-        if use_fused:
+        self._use_fused = can_fused
+        self._use_fused2 = can_fused2
+        if can_fused:
             br1_fused = make_fused_blind_rotate(f1, ntt1, ctx.gadget_br1)
-        if use_fused2:
+        if can_fused2:
             br2_fused = make_fused_blind_rotate2(f2, ntt2, ctx.gadget_br2)
         # L1's NTT is already cheap (fused Pallas kernel), so the pairwise
         # trick's 3x mono/MAC overhead loses there; L2's NTT still dominates
@@ -143,7 +153,7 @@ class Detector:
             b1 = clue_b7.reshape(bsz * clue_count)
 
             acc = init_accumulator(f1, lut1_ext, b1, n1)
-            if use_fused:
+            if can_fused and (forced or (bsz * clue_count) % 128 == 0):
                 acc = br1_fused(acc, amounts1, bsk1_bal)
             else:
                 acc = br1(acc, amounts1, bsk1, bsk1_sh)
@@ -161,7 +171,7 @@ class Detector:
             """Second-level blind rotation (``detector.rs:599-624``; the
             mod-switch-to-2N2 guard at ``:612`` is a no-op here)."""
             acc2 = init_accumulator(f2, lut2_ext, ms_b, n2)
-            if use_fused2:
+            if can_fused2 and (forced or ms_b.shape[0] % 128 == 0):
                 return br2_fused(acc2, ms_a.T, bsk2_bal)
             return br2(acc2, ms_a.T, bsk2, bsk2_sh)
 
@@ -199,6 +209,67 @@ class Detector:
             return f2.add(acc, f2.mod_sum(prod, axis=2))
 
         self._encode_chunk_jit = jax.jit(encode_chunk)
+
+        q2 = f2.q
+        idx_p = p.output_plain_modulus
+        half_p = (idx_p + 1) >> 1
+
+        def encode_idx_chunk(pert, base_addr, idx, acc, nd, segs):
+            """Index-digest chunk with ON-DEVICE plaintext construction.
+
+            pert (B, 2, N2); base_addr (B, segs) start slots; idx (B,)
+            message indices; acc (2, N2). The host only uploads the bucket
+            draws — the (B, N2) centred poly (reference ``detector.rs:
+            271-323``) is built here from 3*segs slot comparisons.
+            """
+            n2v = pert.shape[2]
+            ar = jnp.arange(n2v, dtype=jnp.int64)
+            poly = jnp.zeros((pert.shape[0], n2v), dtype=jnp.int64)
+            v = idx
+            for k in range(nd + 1):
+                if k < nd:
+                    dv = v % idx_p
+                    v = v // idx_p
+                    val = jnp.where(dv < half_p, dv, q2 - idx_p + dv)
+                else:
+                    val = jnp.ones_like(idx)  # flag slot
+                for s in range(segs):
+                    hit = base_addr[:, s : s + 1] + k == ar[None, :]
+                    poly = poly + hit * val[:, None]
+            return encode_chunk(pert, poly, acc)
+
+        self._encode_idx_chunk_jit = jax.jit(
+            encode_idx_chunk, static_argnums=(4, 5)
+        )
+
+        def encode_pay_chunk(pert, payloads, weights, accs, plen):
+            """Payload-digest chunk for ALL combination cts at once.
+
+            pert (B, 2, N2); payloads (B, plen) int64; weights
+            (kct, cmb, B) int64; accs (kct, 2, N2). The weighted slot
+            layout (reference ``detector.rs:412-433``) is built on device;
+            the payload bytes upload once per chunk instead of once per
+            combination ciphertext.
+            """
+            kct, cmb, bsz2 = weights.shape
+            n2v = pert.shape[2]
+            pad = jnp.zeros((bsz2, n2v - cmb * plen), dtype=jnp.int64)
+            pert_t = pert.transpose(1, 2, 0)
+            out = []
+            for k in range(kct):
+                wp = (payloads[None, :, :] * weights[k][:, :, None]) % idx_p
+                centred = jnp.where(wp < half_p, wp, q2 - idx_p + wp)
+                plain = jnp.concatenate(
+                    [centred[c] for c in range(cmb)] + [pad], axis=1
+                )
+                pn = ntt2.fwd(plain.T)
+                prod = f2.mul(pert_t, pn[None])
+                out.append(f2.add(accs[k], f2.mod_sum(prod, axis=2)))
+            return jnp.stack(out)
+
+        self._encode_pay_chunk_jit = jax.jit(
+            encode_pay_chunk, static_argnums=(4,)
+        )
 
     # --------------------------------------------------------------- detect
     def detect(self, clues: ClueBatch) -> jnp.ndarray:
@@ -298,16 +369,29 @@ class Detector:
         (``detector.rs:223-339``); call ``max_encode_indices_cipher_count``
         times for the redundant digests (``examples/omr.rs:180-183``).
         """
-        n2 = retrieval_params.polynomial_size
+        rp = retrieval_params
+        n2 = rp.polynomial_size
         total = pertinency.shape[0]
         acc = jnp.zeros((2, n2), dtype=jnp.int64)
         for s in range(0, total, chunk):
             c = min(chunk, total - s)
-            plain = self.build_index_plaintexts(
-                retrieval_params, c, rng, start_index=s
+            buckets = rng.integers(
+                0, rp.bucket_count_per_segment,
+                size=(c, rp.segment_per_cipher), dtype=np.int64,
             )
-            acc = self._encode_chunk_jit(
-                pertinency[s : s + c], jnp.asarray(plain), acc
+            base_addr = (
+                np.arange(rp.segment_per_cipher, dtype=np.int64)[None, :]
+                * rp.slots_per_segment
+                + buckets * rp.slots_per_bucket
+            )
+            idx = np.arange(s, s + c, dtype=np.int64)
+            acc = self._encode_idx_chunk_jit(
+                pertinency[s : s + c],
+                jnp.asarray(base_addr),
+                jnp.asarray(idx),
+                acc,
+                rp.index_slots_per_bucket,
+                rp.segment_per_cipher,
             )
         return acc
 
@@ -357,19 +441,17 @@ class Detector:
         total = pertinency.shape[0]
         weights = sample_weights(rp, seed)
         w_all = weights.reshape(rp.cmb_cipher_count, rp.cmb_count_per_cipher, -1)
-        out = []
-        for k in range(rp.cmb_cipher_count):
-            acc = jnp.zeros((2, n2), dtype=jnp.int64)
-            for s in range(0, total, chunk):
-                c = min(chunk, total - s)
-                plain = self.build_payload_plaintexts(
-                    rp, payloads[s : s + c], w_all[k][:, s : s + c]
-                )
-                acc = self._encode_chunk_jit(
-                    pertinency[s : s + c], jnp.asarray(plain), acc
-                )
-            out.append(acc)
-        return jnp.stack(out)
+        accs = jnp.zeros((rp.cmb_cipher_count, 2, n2), dtype=jnp.int64)
+        for s in range(0, total, chunk):
+            c = min(chunk, total - s)
+            accs = self._encode_pay_chunk_jit(
+                pertinency[s : s + c],
+                jnp.asarray(payloads[s : s + c].astype(np.int64)),
+                jnp.asarray(w_all[:, :, s : s + c]),
+                accs,
+                rp.payload_length,
+            )
+        return accs
 
     def detect_key_size(self) -> int:
         """Byte-size accounting (counterpart of the ``Size`` trait)."""

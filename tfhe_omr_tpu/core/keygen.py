@@ -39,7 +39,7 @@ class DetectionKey(NamedTuple):
     trace_k: jnp.ndarray  # (rounds, N2, d_tr, 2) int64
     trace_k_sh: jnp.ndarray
     bsk1_bal: jnp.ndarray | None = None  # (n0, N1, 32) int32 balanced planes
-    bsk2_bal: jnp.ndarray | None = None  # (n_int/2, N2, 288) int16
+    bsk2_bal: jnp.ndarray | None = None  # (n_int/2, 2*d2, N2, 32) int16
 
 
 class ClueKey(NamedTuple):

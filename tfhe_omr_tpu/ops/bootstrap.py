@@ -64,7 +64,7 @@ def make_fused_blind_rotate2(
 ):
     """Fused-kernel PAIRED blind rotation (second level, 50-bit field):
     same contract as make_blind_rotate(paired=True) but consumes balanced
-    BSK planes (n_steps, N, 288) int16 (see
+    BSK planes (n_steps, 2d, N, 32) int16 (see
     :func:`tfhe_omr_tpu.ops.pallas_fused.make_bsk2_balanced`).
     Bit-identical to the XLA path.
     """

@@ -313,17 +313,30 @@ class FusedBlindRotateL1:
                     a_s[:, s0:e0] = self._level_dot(
                         [xv[:, s0:e0].astype(jnp.int8)], w0f_ref[:], r
                     )
-                # level 1: per-k0 twiddle-folded matrices, full-range input
-                av = a_s[:].reshape(r, c, jc * bt)
+                # level 1: per-k0 twiddle-folded matrices, full-range input;
+                # an in-kernel fori_loop (an unrolled body this size spills
+                # vregs and compiles for minutes)
                 if self.batched_dot:
+                    av = a_s[:].reshape(r, c, jc * bt)
                     dig_s[:] = self._level1_batched(av, w1f_ref[:]).reshape(
                         n, jc * bt
                     )
                 else:
-                    for k0 in range(r):
-                        dig_s[k0 * c : (k0 + 1) * c, :] = self._level_dot(
-                            self._planes7(av[k0]), w1f_ref[k0], c
+
+                    def fwd_k0(k0, _):
+                        k0 = k0.astype(jnp.int32)
+                        avk = a_s[pl.ds(k0, 1), :].reshape(c, jc * bt)
+                        w1k = w1f_ref[pl.ds(k0, 1), :, :].reshape(
+                            self.levels * c, c
                         )
+                        dig_s[pl.ds(k0 * jnp.int32(c), c), :] = (
+                            self._level_dot(self._planes7(avk), w1k, c)
+                        )
+                        return jnp.int32(0)
+
+                    jax.lax.fori_loop(
+                        jnp.int32(0), jnp.int32(r), fwd_k0, jnp.int32(0)
+                    )
 
             # ---- 3. mono multiplier values (N, Bt)
             if "mono" not in skip:
@@ -364,8 +377,8 @@ class FusedBlindRotateL1:
 
             # ---- 5. inverse NTT of p_s -> delta, accumulate into acc_s
             if "intt" not in skip:
-                pv = p_s[:].reshape(r, c, 2 * bt)
                 if self.batched_dot:
+                    pv = p_s[:].reshape(r, c, 2 * bt)
                     y3 = self._level1_batched(pv, w1i_ref[:])
                     z = self._level_dot(
                         self._planes7(y3.reshape(r, c * 2 * bt)),
@@ -373,10 +386,19 @@ class FusedBlindRotateL1:
                         r,
                     )
                 else:
-                    for k0 in range(r):
-                        y_s[k0 : k0 + 1, :] = self._level_dot(
-                            self._planes7(pv[k0]), w1i_ref[k0], c
+
+                    def intt_k0(k0, _):
+                        k0 = k0.astype(jnp.int32)
+                        pvk = p_s[pl.ds(k0 * jnp.int32(c), c), :]
+                        w1k = w1i_ref[pl.ds(k0, 1), :, :].reshape(
+                            self.levels * c, c
+                        )
+                        y_s[pl.ds(k0, 1), :] = self._level_dot(
+                            self._planes7(pvk), w1k, c
                         ).reshape(1, c * 2 * bt)
+                        return jnp.int32(0)
+
+                    jax.lax.fori_loop(jnp.int32(0), jnp.int32(r), intt_k0, jnp.int32(0))
                     z = self._level_dot(
                         self._planes7(y_s[:]), w0i_ref[:], r
                     )
@@ -473,10 +495,13 @@ class FusedBlindRotateL1:
 
 def make_bsk2_balanced(bsk_int, q: int):
     """Host prep: (3*n_steps, N, d, 2, 2) int64 BSK in [0, q), q < 2**50
-    -> (n_steps, N, 4*3*d*2*2) int16 balanced 13-bit planes.
+    -> (n_steps, 2*d, N, 32) int16 balanced 13-bit planes.
 
     k' = k - q*(k > q/2) in (-q/2, q/2]; signed base-2**13 digits v0..v3 with
-    |v_a| <= 2**12. Column layout ((a*3 + t)*(2d) + (j*2 + cc))*2 + o.
+    |v_a| <= 2**12. Dim 1 is the digit column jj = j*2 + cc (the kernel's
+    dynamic fori index — it must ride an untiled leading dim, Mosaic only
+    lane-slices at 128 granularity); the minor dim holds the 24 static
+    columns (a*3 + t)*2 + o, zero-padded to 32.
     """
     rows, n, d, c2, o2 = bsk_int.shape
     assert rows % 3 == 0
@@ -492,9 +517,11 @@ def make_bsk2_balanced(bsk_int, q: int):
     planes.append(r)  # |v3| small
     p = np.stack(planes, axis=0)  # (4, 3*n_steps, N, d, 2, 2)
     p = p.reshape(4, n_steps, 3, n, d, 2, 2)
-    # -> (n_steps, N, a, t, d, cc, o) -> (n_steps, N, 288)
-    p = p.transpose(1, 3, 0, 2, 4, 5, 6).reshape(n_steps, n, 4 * 3 * d * 4)
-    return p.astype(np.int16)
+    # -> (n_steps, d, cc, N, a, t, o) -> (n_steps, 2d, N, 24) -> pad 32
+    p = p.transpose(1, 4, 5, 3, 0, 2, 6).reshape(n_steps, 2 * d, n, 24)
+    out = np.zeros((n_steps, 2 * d, n, 32), dtype=np.int16)
+    out[..., :24] = p
+    return out
 
 
 class FusedBlindRotateL2:
@@ -734,6 +761,19 @@ class FusedBlindRotateL2:
         hi3 = hi2 + under * jnp.int32(self._q_hi) + cr
         return lo3, hi3
 
+    def _add_canonical(self, alo, ahi, blo, bhi):
+        """Exact (a + b) mod q on canonical 25-bit limb pairs."""
+        s_lo = alo + blo
+        s_hi = ahi + bhi + (s_lo >> 25)
+        s_lo = s_lo & jnp.int32((1 << 25) - 1)
+        q_lo = jnp.int32(self._q_lo)
+        q_hi = jnp.int32(self._q_hi)
+        ge = (s_hi > q_hi) | ((s_hi == q_hi) & (s_lo >= q_lo))
+        gi = ge.astype(jnp.int32)
+        lo2 = s_lo - gi * q_lo
+        neg = (lo2 < 0).astype(jnp.int32)
+        return lo2 + (neg << 25), s_hi - gi * q_hi - neg
+
     # ---------------------------------------------------------------- kernel
     def _make_call(self):
         n, r, c, d = self.n, self.r, self.c, self.d
@@ -748,12 +788,16 @@ class FusedBlindRotateL2:
             w0f_ref, w1f_ref, w0i_ref, w1i_ref, ohlo_ref, ohhi_ref,
             acc_ref, p1_ref, p2_ref, bsk_ref,
             o_ref,
-            acc_s, dig_s, alo_s, ahi_s, dnlo_s, dnhi_s, plo_s, phi_s,
+            acc_s, dig_s, dnhi_s, slo_s, shi_s, plo_s, phi_s,
         ):
             step = pl.program_id(1)
             n_steps = pl.num_programs(1)
             bt = acc_ref.shape[3]
             skip = self.skip
+            # column chunk of the (j, cc, b) axis processed per fused
+            # level0+level1 pass; also sized so the same staging buffers
+            # hold the INTT's (r, c*2*bt) y intermediate
+            ch_w = 2 * bt
 
             @pl.when(step == 0)
             def _():
@@ -770,108 +814,132 @@ class FusedBlindRotateL2:
                             :, (j * 2 + cc) * bt : (j * 2 + cc + 1) * bt
                         ] = digs[j]
 
-            # ---- 2. forward NTT (signed single plane -> dual-limb out)
+            # ---- 2. forward NTT (signed single plane -> dual-limb out),
+            # both levels fused per ch_w-column chunk; the level-1 low limb
+            # overwrites the (consumed) digit columns in dig_s. All loops
+            # are in-kernel fori_loops with dynamic ref slices — a fully
+            # unrolled body spills hundreds of MB of vregs (PERF_NOTES.md).
             if "fwd" not in skip:
-                xv = dig_s[:].reshape(r, c * jc * bt)
-                for s0 in range(0, c * jc * bt, lvl0_chunk):
-                    e0 = min(c * jc * bt, s0 + lvl0_chunk)
-                    lo_o, hi_o = self._level_dot_dual(
-                        [xv[:, s0:e0].astype(jnp.int8)], w0f_ref[:], r
-                    )
-                    alo_s[:, s0:e0] = lo_o
-                    ahi_s[:, s0:e0] = hi_o
-                av_lo = alo_s[:].reshape(r, c, jc * bt)
-                av_hi = ahi_s[:].reshape(r, c, jc * bt)
-                for k0 in range(r):
-                    lo_o, hi_o = self._level_dot_dual(
-                        self._digit_planes8(av_lo[k0], av_hi[k0]),
-                        w1f_ref[k0],
-                        c,
-                    )
-                    dnlo_s[k0 * c : (k0 + 1) * c, :] = lo_o
-                    dnhi_s[k0 * c : (k0 + 1) * c, :] = hi_o
 
-            # ---- 3. mono multipliers (3 rows), balanced planes
-            mono_bal = []
-            for t in range(3):
-                if "mono" not in skip:
-                    s1l, s1h = self._onehot_dual(
-                        ohlo_ref[:], p1_ref[0, 2 * t], p1_ref[0, 2 * t + 1]
+                def fwd_chunk(ci, _):
+                    s0 = ci.astype(jnp.int32) * jnp.int32(ch_w)
+                    x = dig_s[:, pl.ds(s0, ch_w)].reshape(r, c * ch_w)
+                    lo0, hi0 = self._level_dot_dual(
+                        [x.astype(jnp.int8)], w0f_ref[:], r
                     )
-                    s2l, s2h = self._onehot_dual(
-                        ohhi_ref[:], p2_ref[0, 2 * t], p2_ref[0, 2 * t + 1]
-                    )
-                    mlo, mhi = self._mul_bal(
-                        self._bal13(s1l, s1h), self._bal13(s2l, s2h)
-                    )
-                    mlo, mhi = self._sub_one(mlo, mhi)
-                else:
-                    mlo = p1_ref[0, 2 * t, 0:1, :] + jnp.zeros(
-                        (n, bt), jnp.int32
-                    )
-                    mhi = jnp.zeros((n, bt), jnp.int32)
-                mono_bal.append(self._bal13(mlo, mhi))
+                    slo_s[:] = lo0
+                    shi_s[:] = hi0
 
-            # ---- 4. MAC (+ mono, + pair sum) -> p limbs
+                    def fwd_k0(k0, _):
+                        k0 = k0.astype(jnp.int32)
+                        sv_lo = slo_s[pl.ds(k0, 1), :].reshape(c, ch_w)
+                        sv_hi = shi_s[pl.ds(k0, 1), :].reshape(c, ch_w)
+                        w1k = w1f_ref[pl.ds(k0, 1), :, :].reshape(
+                            self.levels * c, c
+                        )
+                        lo_o, hi_o = self._level_dot_dual(
+                            self._digit_planes8(sv_lo, sv_hi), w1k, c
+                        )
+                        rr = pl.ds(k0 * jnp.int32(c), c)
+                        dig_s[rr, pl.ds(s0, ch_w)] = lo_o
+                        dnhi_s[rr, pl.ds(s0, ch_w)] = hi_o
+                        return jnp.int32(0)
+
+                    jax.lax.fori_loop(
+                        jnp.int32(0), jnp.int32(r), fwd_k0, jnp.int32(0)
+                    )
+                    return jnp.int32(0)
+
+                jax.lax.fori_loop(
+                    jnp.int32(0), jnp.int32((jc * bt) // ch_w), fwd_chunk, jnp.int32(0)
+                )
+
+            # ---- 3+4. MAC with per-row mono; per-(row, o) results are
+            # dual-limb-accumulated straight into the plo/phi scratch so no
+            # accumulator value stays live across the big unrolled sections
             if "mac" not in skip:
-                kb = bsk_ref[0]  # (N, 288) int16 balanced planes
-                fin = [[None] * 7, [None] * 7]  # per-o final groups
+                zero = jnp.zeros((n, bt), jnp.int32)
                 for t in range(3):
+                    if "mono" not in skip:
+                        s1l, s1h = self._onehot_dual(
+                            ohlo_ref[:], p1_ref[0, 2 * t], p1_ref[0, 2 * t + 1]
+                        )
+                        s2l, s2h = self._onehot_dual(
+                            ohhi_ref[:], p2_ref[0, 2 * t], p2_ref[0, 2 * t + 1]
+                        )
+                        mlo, mhi = self._mul_bal(
+                            self._bal13(s1l, s1h), self._bal13(s2l, s2h)
+                        )
+                        mlo, mhi = self._sub_one(mlo, mhi)
+                    else:
+                        mlo = p1_ref[0, 2 * t, 0:1, :] + jnp.zeros(
+                            (n, bt), jnp.int32
+                        )
+                        mhi = jnp.zeros((n, bt), jnp.int32)
+                    mono_t = self._bal13(mlo, mhi)
                     for o in range(2):
-                        groups = [None] * 7
-                        for jj in range(jc):
-                            vp = self._bal13(
-                                dnlo_s[:, jj * bt : (jj + 1) * bt],
-                                dnhi_s[:, jj * bt : (jj + 1) * bt],
+
+                        def mac_jj(jj, groups, _t=t, _o=o):
+                            jj = jj.astype(jnp.int32)
+                            cs = pl.ds(jj * jnp.int32(bt), bt)
+                            vp = self._bal13(dig_s[:, cs], dnhi_s[:, cs])
+                            kj = bsk_ref[0, pl.ds(jj, 1), :, :].reshape(
+                                n, 32
                             )
+                            new = list(groups)
                             for a in range(4):
-                                col = ((a * 3 + t) * jc + jj) * 2 + o
-                                kcol = kb[:, col : col + 1].astype(jnp.int32)
+                                col = (a * 3 + _t) * 2 + _o
+                                kcol = kj[:, col : col + 1].astype(jnp.int32)
                                 for b in range(4):
                                     s_ = a + b
-                                    tt = vp[b] * kcol
-                                    groups[s_] = (
-                                        tt
-                                        if groups[s_] is None
-                                        else groups[s_] + tt
-                                    )
-                        plo, phi = self._horner_dual(groups, 13)
-                        fin[o] = self._mul_bal(
-                            self._bal13(plo, phi),
-                            mono_bal[t],
-                            extra_groups=fin[o],
-                        )
-                for o in range(2):
-                    plo, phi = self._horner_dual(fin[o], 13)
-                    plo_s[:, o * bt : (o + 1) * bt] = plo
-                    phi_s[:, o * bt : (o + 1) * bt] = phi
+                                    new[s_] = new[s_] + vp[b] * kcol
+                            return tuple(new)
 
-            # ---- 5. inverse NTT + accumulate
+                        groups = jax.lax.fori_loop(
+                            jnp.int32(0), jnp.int32(jc), mac_jj, (zero,) * 7
+                        )
+                        plo, phi = self._horner_dual(list(groups), 13)
+                        rlo, rhi = self._mul_bal(
+                            self._bal13(plo, phi), mono_t
+                        )
+                        sl = slice(o * bt, (o + 1) * bt)
+                        if t == 0:
+                            plo_s[:, sl] = rlo
+                            phi_s[:, sl] = rhi
+                        else:
+                            alo, ahi = self._add_canonical(
+                                plo_s[:, sl], phi_s[:, sl], rlo, rhi
+                            )
+                            plo_s[:, sl] = alo
+                            phi_s[:, sl] = ahi
+
+            # ---- 5. inverse NTT + accumulate (y staging reuses slo/shi:
+            # (r, c*2*bt) == their (r, c*ch_w) shape)
             if "intt" not in skip:
-                pv_lo = plo_s[:].reshape(r, c, 2 * bt)
-                pv_hi = phi_s[:].reshape(r, c, 2 * bt)
-                for k0 in range(r):
+
+                def intt_k0(k0, _):
+                    k0 = k0.astype(jnp.int32)
+                    rr = pl.ds(k0 * jnp.int32(c), c)
+                    pvl = plo_s[rr, :]
+                    pvh = phi_s[rr, :]
+                    w1k = w1i_ref[pl.ds(k0, 1), :, :].reshape(
+                        self.levels * c, c
+                    )
                     lo_o, hi_o = self._level_dot_dual(
-                        self._digit_planes8(pv_lo[k0], pv_hi[k0]),
-                        w1i_ref[k0],
-                        c,
+                        self._digit_planes8(pvl, pvh), w1k, c
                     )
-                    # y staging reuses the a_s scratch (first c*2*bt cols)
-                    alo_s[k0 : k0 + 1, 0 : c * 2 * bt] = lo_o.reshape(
-                        1, c * 2 * bt
-                    )
-                    ahi_s[k0 : k0 + 1, 0 : c * 2 * bt] = hi_o.reshape(
-                        1, c * 2 * bt
-                    )
+                    slo_s[pl.ds(k0, 1), :] = lo_o.reshape(1, c * 2 * bt)
+                    shi_s[pl.ds(k0, 1), :] = hi_o.reshape(1, c * 2 * bt)
+                    return jnp.int32(0)
+
+                jax.lax.fori_loop(jnp.int32(0), jnp.int32(r), intt_k0, jnp.int32(0))
                 zlo_parts = []
                 zhi_parts = []
-                y_lo = alo_s[:, 0 : c * 2 * bt]
-                y_hi = ahi_s[:, 0 : c * 2 * bt]
                 for s0 in range(0, c * 2 * bt, lvl0_chunk):
                     e0 = min(c * 2 * bt, s0 + lvl0_chunk)
                     lo_o, hi_o = self._level_dot_dual(
                         self._digit_planes8(
-                            y_lo[:, s0:e0], y_hi[:, s0:e0]
+                            slo_s[:, s0:e0], shi_s[:, s0:e0]
                         ),
                         w0i_ref[:],
                         r,
@@ -886,18 +954,9 @@ class FusedBlindRotateL2:
                 d_lo = plo_s[:].reshape(n, 2, bt).transpose(1, 0, 2)
                 d_hi = phi_s[:].reshape(n, 2, bt).transpose(1, 0, 2)
 
-            # dual-limb add + conditional subtract
-            s_lo = acc_s[0] + d_lo
-            s_hi = acc_s[1] + d_hi + (s_lo >> 25)
-            s_lo = s_lo & jnp.int32((1 << 25) - 1)
-            q_lo = jnp.int32(self._q_lo)
-            q_hi = jnp.int32(self._q_hi)
-            ge = (s_hi > q_hi) | ((s_hi == q_hi) & (s_lo >= q_lo))
-            gi = ge.astype(jnp.int32)
-            lo2 = s_lo - gi * q_lo
-            neg = (lo2 < 0).astype(jnp.int32)
-            new_lo = lo2 + (neg << 25)
-            new_hi = s_hi - gi * q_hi - neg
+            new_lo, new_hi = self._add_canonical(
+                acc_s[0], acc_s[1], d_lo, d_hi
+            )
             acc_s[0] = new_lo
             acc_s[1] = new_hi
 
@@ -909,7 +968,7 @@ class FusedBlindRotateL2:
         def call(acc_limbs, p1l, p2l, bsk_bal):
             """acc_limbs (2, 2, N, B) int32 [limb, o, n, b];
             p1l/p2l (n_steps, 6, n_e, B) int32 [(t, limb) rows];
-            bsk_bal (n_steps, N, 288) int16 -> (2, 2, N, B) int32."""
+            bsk_bal (n_steps, 2d, N, 32) int16 -> (2, 2, N, B) int32."""
             _, _, n_, b = acc_limbs.shape
             n_steps = bsk_bal.shape[0]
             tile = min(self.tile, b)
@@ -952,8 +1011,8 @@ class FusedBlindRotateL2:
                         memory_space=pltpu.VMEM,
                     ),
                     pl.BlockSpec(
-                        (1, n_, 288),
-                        lambda i, s: (s.astype(i32), i32(0), i32(0)),
+                        (1, jc, n_, 32),
+                        lambda i, s: (s.astype(i32), i32(0), i32(0), i32(0)),
                         memory_space=pltpu.VMEM,
                     ),
                 ],
@@ -964,16 +1023,15 @@ class FusedBlindRotateL2:
                 ),
                 scratch_shapes=[
                     pltpu.VMEM((2, 2, n_, tile), jnp.int32),       # acc_s
-                    pltpu.VMEM((n_, jc * tile), jnp.int32),        # dig_s
-                    pltpu.VMEM((r, c * jc * tile), jnp.int32),     # alo_s
-                    pltpu.VMEM((r, c * jc * tile), jnp.int32),     # ahi_s
-                    pltpu.VMEM((n_, jc * tile), jnp.int32),        # dnlo_s
+                    pltpu.VMEM((n_, jc * tile), jnp.int32),        # dig_s / dn lo
                     pltpu.VMEM((n_, jc * tile), jnp.int32),        # dnhi_s
+                    pltpu.VMEM((r, c * 2 * tile), jnp.int32),      # slo_s
+                    pltpu.VMEM((r, c * 2 * tile), jnp.int32),      # shi_s
                     pltpu.VMEM((n_, 2 * tile), jnp.int32),         # plo_s
                     pltpu.VMEM((n_, 2 * tile), jnp.int32),         # phi_s
                 ],
                 compiler_params=pltpu.CompilerParams(
-                    vmem_limit_bytes=127 * 1024 * 1024,
+                    vmem_limit_bytes=110 * 1024 * 1024,
                 ),
                 interpret=self.interpret,
             )(w0f, w1f, w0i, w1i, oh_lo, oh_hi, acc_limbs, p1l, p2l, bsk_bal)
