@@ -70,3 +70,55 @@ def test_roundtrip_tiny_all_pertinent():
     true_indices, indices, payloads, solved = run_omr(params, 8, 8)
     assert indices == true_indices
     np.testing.assert_array_equal(solved, payloads[indices])
+
+
+def test_device_encoders_match_host_plaintext_path():
+    """The on-device plaintext builders (encode_pertinent_indices /
+    encode_pertinent_payloads) must produce EXACTLY the ciphertexts of the
+    host-plaintext path (build_index_plaintexts + _encode_chunk_jit) —
+    same rng stream, exact modular arithmetic on both sides."""
+    from tfhe_omr_tpu.core.detector import sample_weights
+
+    params = OmrParameters.tiny()
+    skp = SecretKeyPack(params, rng=21)
+    detector = skp.generate_detector()
+    sender = skp.generate_sender()
+    rng = np.random.default_rng(22)
+    count = 24
+    clues = sender.gen_clues(count, rng)
+    pert = detector.detect(clues)
+    retriever = skp.generate_retriever(count, 4)
+    rp = retriever.params
+
+    # index digest: same bucket stream for both paths
+    rng_a = np.random.default_rng(7)
+    rng_b = np.random.default_rng(7)
+    dev = detector.encode_pertinent_indices(rp, pert, rng_a, chunk=16)
+    host = jnp.zeros_like(dev)
+    for s in range(0, count, 16):
+        c = min(16, count - s)
+        plain = detector.build_index_plaintexts(rp, c, rng_b, start_index=s)
+        host = detector._encode_chunk_jit(
+            pert[s : s + c], jnp.asarray(plain), host
+        )
+    np.testing.assert_array_equal(np.asarray(dev), np.asarray(host))
+
+    # payload digest
+    payloads = random_payloads(rng, count, params.payload_length)
+    seed = 12345
+    dev_p = detector.encode_pertinent_payloads(
+        rp, pert, payloads, seed, chunk=16
+    )
+    weights = sample_weights(rp, seed)
+    w_all = weights.reshape(rp.cmb_cipher_count, rp.cmb_count_per_cipher, -1)
+    for k in range(rp.cmb_cipher_count):
+        acc = jnp.zeros_like(dev_p[k])
+        for s in range(0, count, 16):
+            c = min(16, count - s)
+            plain = detector.build_payload_plaintexts(
+                rp, payloads[s : s + c], w_all[k][:, s : s + c]
+            )
+            acc = detector._encode_chunk_jit(
+                pert[s : s + c], jnp.asarray(plain), acc
+            )
+        np.testing.assert_array_equal(np.asarray(dev_p[k]), np.asarray(acc))
