@@ -51,15 +51,15 @@ def main():
     for v in variants:
         skip = frozenset() if v == "none" else frozenset(v.split("+"))
         fused = FusedBlindRotateL1(f, ntt, g.d, g.log_b, tile=tile, skip=skip)
-        fn = jax.jit(lambda a: fused(a, p1, p2, bsk_bal))
+        fn = jax.jit(lambda a, q1, q2, k: fused(a, q1, q2, k))
         t0 = time.perf_counter()
-        out = fn(acc0)
+        out = fn(acc0, p1, p2, bsk_bal)
         jax.block_until_ready(out)
         compile_s = time.perf_counter() - t0
         times = []
         for _ in range(3):
             t0 = time.perf_counter()
-            out = fn(acc0)
+            out = fn(acc0, p1, p2, bsk_bal)
             jax.block_until_ready(out)
             times.append(time.perf_counter() - t0)
         best = min(times)

@@ -63,15 +63,17 @@ def main():
     for v in variants:
         skip = frozenset() if v == "none" else frozenset(v.split("+"))
         fused = FusedBlindRotateL2(f, ntt, g.d, g.log_b, tile=tile, skip=skip)
-        fn = jax.jit(lambda a: fused(a, p1l, p2l, bsk_bal))
+        # pass the big tensors as ARGUMENTS: closed-over constants ship
+        # with the remote-compile request and blow its body limit
+        fn = jax.jit(lambda a, q1, q2, k: fused(a, q1, q2, k))
         t0 = time.perf_counter()
-        out = fn(acc_l)
+        out = fn(acc_l, p1l, p2l, bsk_bal)
         jax.block_until_ready(out)
         compile_s = time.perf_counter() - t0
         times = []
         for _ in range(3):
             t0 = time.perf_counter()
-            out = fn(acc_l)
+            out = fn(acc_l, p1l, p2l, bsk_bal)
             jax.block_until_ready(out)
             times.append(time.perf_counter() - t0)
         best = min(times)

@@ -23,6 +23,7 @@ def main():
     ap.add_argument("--steps", type=int, default=512)
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--skip-xla", action="store_true")
+    ap.add_argument("--paired", action="store_true")
     args = ap.parse_args()
 
     import jax
@@ -34,7 +35,10 @@ def main():
         make_blind_rotate,
         make_fused_blind_rotate,
     )
-    from tfhe_omr_tpu.ops.pallas_fused import make_bsk_balanced
+    from tfhe_omr_tpu.ops.pallas_fused import (
+        make_bsk_balanced,
+        make_bsk_balanced_paired,
+    )
 
     params = OmrParameters.default()
     ctx = OmrContext(params)
@@ -46,13 +50,20 @@ def main():
     acc0 = jnp.asarray(
         rng.integers(0, f.q, size=(n, 2, B), dtype=np.int64).astype(np.int32)
     )
+    # in paired mode ``steps`` is the LWE dimension (kernel steps = steps/2,
+    # BSK rows = 3*steps/2)
     amounts = jnp.asarray(
         rng.integers(0, 2 * n, size=(steps, B), dtype=np.int64)
     )
-    bsk_np = rng.integers(0, f.q, size=(steps, n, d, 2, 2), dtype=np.int64)
+    rows = 3 * steps // 2 if args.paired else steps
+    bsk_np = rng.integers(0, f.q, size=(rows, n, d, 2, 2), dtype=np.int64)
     bsk = jnp.asarray(bsk_np.astype(np.int32))
     bsk_sh = jnp.asarray(f.shoup(bsk_np).astype(np.int32))
-    bsk_bal = jnp.asarray(make_bsk_balanced(bsk_np, f.q))
+    bsk_bal = jnp.asarray(
+        make_bsk_balanced_paired(bsk_np, f.q)
+        if args.paired
+        else make_bsk_balanced(bsk_np, f.q)
+    )
 
     def bench(fn, label):
         t0 = time.perf_counter()
@@ -79,11 +90,11 @@ def main():
         )
         return np.asarray(out), best
 
-    br_fused = jax.jit(make_fused_blind_rotate(f, ntt, g))
+    br_fused = jax.jit(make_fused_blind_rotate(f, ntt, g, paired=args.paired))
     out_f, t_f = bench(lambda: br_fused(acc0, amounts, bsk_bal), "fused")
 
     if not args.skip_xla:
-        br_ref = jax.jit(make_blind_rotate(f, ntt, g, paired=False))
+        br_ref = jax.jit(make_blind_rotate(f, ntt, g, paired=args.paired))
         out_r, t_r = bench(lambda: br_ref(acc0, amounts, bsk, bsk_sh), "xla")
         print(
             json.dumps(

@@ -73,7 +73,7 @@ def main():
     q0 = params.clue_params.cipher_modulus
     a1 = jnp.asarray(rng.integers(0, q0, size=(n0, B), dtype=np.int64))
     b1 = jnp.asarray(rng.integers(0, q0, size=(B,), dtype=np.int64))
-    br1 = make_blind_rotate(ctx.f1, ctx.ntt1, ctx.gadget_br1, paired=False)
+    br1 = make_blind_rotate(ctx.f1, ctx.ntt1, ctx.gadget_br1, paired=True)
     lut1 = jnp.asarray(ctx.lut1_ext)
 
     @jax.jit

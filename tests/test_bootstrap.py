@@ -42,7 +42,7 @@ def test_blind_rotate_lut1(nf_pack, rng):
     delta1 = ((q1 >> (t_out.bit_length() - 2)) + 1) >> 1
     expected_by_m = {0: delta1, 4: q1 - delta1}
 
-    br = make_blind_rotate(ctx.f1, ctx.ntt1, ctx.gadget_br1)
+    br = make_blind_rotate(ctx.f1, ctx.ntt1, ctx.gadget_br1, paired=True)
     lut1_ext = jnp.asarray(ctx.lut1_ext)
 
     ms, avecs, bs = [], [], []

@@ -90,6 +90,45 @@ def test_fused_bit_identical_and_decrypts(small_lwe_pack, rng):
         assert abs(err) < q // 256, (i, m, err)
 
 
+def test_fused_paired_bit_identical(small_lwe_pack, rng):
+    """Paired (BMMP) fused L1 kernel vs the paired XLA path — the layout
+    the production detector uses (keygen pairs bsk1)."""
+    from tfhe_omr_tpu.ops.pallas_fused import make_bsk_balanced_paired
+    from tfhe_omr_tpu.utils.devices import host_math as hm
+
+    skp, _, _ = small_lwe_pack
+    ctx = skp.ctx
+    params = skp.params
+    f, ntt, g = ctx.f1, ctx.ntt1, ctx.gadget_br1
+    q = f.q
+    with hm():
+        bsk1p, bsk1p_sh = skp._gen_bsk(
+            skp._pair_bits(skp.clue_sk), skp.z1_f, skp.z1_ntt, ctx.f1,
+            ctx.ntt1, ctx.gadget_br1, params.first_level_br.noise_std,
+            np.random.default_rng(11),
+        )
+    q0, t0v = 2048, 8
+    B = 8
+    avecs = rng.integers(0, q0, size=(len(skp.clue_sk), B), dtype=np.int64)
+    bs = rng.integers(0, q0, size=(B,), dtype=np.int64)
+    lut1 = jnp.asarray(ctx.lut1_ext, dtype=f.storage_dtype)
+    acc0 = init_accumulator(f, lut1, jnp.asarray(bs), params.n1)
+    amounts = jnp.asarray(avecs)
+
+    br_ref = make_blind_rotate(f, ntt, g, paired=True)
+    with host_math():
+        out_ref = np.asarray(br_ref(acc0, amounts, bsk1p, bsk1p_sh))
+
+    br_fused = make_fused_blind_rotate(f, ntt, g, interpret=True, paired=True)
+    bsk_bal = jnp.asarray(make_bsk_balanced_paired(np.asarray(bsk1p), q))
+    out = np.asarray(br_fused(acc0, amounts, bsk_bal))
+
+    assert np.array_equal(out, out_ref), (
+        int(np.abs(out.astype(np.int64) - out_ref.astype(np.int64)).max()),
+        int((out != out_ref).sum()),
+    )
+
+
 @pytest.fixture(scope="module")
 def small_l2_pack():
     base = OmrParameters.default()

@@ -112,13 +112,15 @@ class Detector:
         self._use_fused = can_fused
         self._use_fused2 = can_fused2
         if can_fused:
-            br1_fused = make_fused_blind_rotate(f1, ntt1, ctx.gadget_br1)
+            br1_fused = make_fused_blind_rotate(
+                f1, ntt1, ctx.gadget_br1, paired=True
+            )
         if can_fused2:
             br2_fused = make_fused_blind_rotate2(f2, ntt2, ctx.gadget_br2)
-        # L1's NTT is already cheap (fused Pallas kernel), so the pairwise
-        # trick's 3x mono/MAC overhead loses there; L2's NTT still dominates
-        # and pairing wins ~26%.
-        br1 = make_blind_rotate(f1, ntt1, ctx.gadget_br1, paired=False)
+        # Both levels use the pairwise (BMMP) CMUX: the fused-kernel phase
+        # ablation shows fwd NTT + INTT ~= 90% of a step, so halving the
+        # step count (at 1.5x mono/MAC) wins at L1 too.
+        br1 = make_blind_rotate(f1, ntt1, ctx.gadget_br1, paired=True)
         br2 = make_blind_rotate(f2, ntt2, ctx.gadget_br2, paired=True)
         ks = make_lwe_keyswitch(f1, p.first_level_ks.digits, p.first_level_ks.out_dimension)
         trace = make_trace(f2, ntt2, ctx.gadget_trace, ctx.trace_autos)

@@ -31,14 +31,14 @@ class DetectionKey(NamedTuple):
     """Device arrays for the detector (counterpart of ``DetectionKey``,
     reference ``key_gen/detection.rs:9-16``). All NTT-domain, poly-major."""
 
-    bsk1: jnp.ndarray  # (n0, N1, d1, 2, 2) int32 (small field)
+    bsk1: jnp.ndarray  # (3*n0/2, N1, d1, 2, 2) int32 paired (small field)
     bsk1_sh: jnp.ndarray
     ksk_limbs: jnp.ndarray  # (limbs, N1*ks_digits, n_int+1) int8
-    bsk2: jnp.ndarray  # (n_int, N2, d2, 2, 2) int64
+    bsk2: jnp.ndarray  # (3*n_int/2, N2, d2, 2, 2) int64 paired
     bsk2_sh: jnp.ndarray
     trace_k: jnp.ndarray  # (rounds, N2, d_tr, 2) int64
     trace_k_sh: jnp.ndarray
-    bsk1_bal: jnp.ndarray | None = None  # (n0, N1, 32) int32 balanced planes
+    bsk1_bal: jnp.ndarray | None = None  # (n0/2, N1, 128) int16 balanced
     bsk2_bal: jnp.ndarray | None = None  # (n_int/2, 2*d2, N2, 32) int16
 
 
@@ -154,7 +154,7 @@ class SecretKeyPack:
 
         with host_math():
             bsk1, bsk1_sh = self._gen_bsk(
-                self.clue_sk,
+                self._pair_bits(self.clue_sk),
                 self.z1_f,
                 self.z1_ntt,
                 c.f1,
@@ -178,10 +178,12 @@ class SecretKeyPack:
             # balanced-signed planes of BSK1/BSK2 for the fused Pallas kernels
             bsk1_bal = None
             if c.f1.bits <= 27:
-                from tfhe_omr_tpu.ops.pallas_fused import make_bsk_balanced
+                from tfhe_omr_tpu.ops.pallas_fused import (
+                    make_bsk_balanced_paired,
+                )
 
                 bsk1_bal = jnp.asarray(
-                    make_bsk_balanced(np.asarray(bsk1), c.f1.q)
+                    make_bsk_balanced_paired(np.asarray(bsk1), c.f1.q)
                 )
             bsk2_bal = None
             if c.f2.bits == 50:

@@ -33,22 +33,44 @@ from tfhe_omr_tpu.ops.ntt import NegacyclicNtt
 
 
 def make_fused_blind_rotate(
-    field: PrimeField, ntt, gadget: SignedGadget, interpret: bool = False
+    field: PrimeField,
+    ntt,
+    gadget: SignedGadget,
+    interpret: bool = False,
+    paired: bool = False,
 ):
     """Fused-kernel blind rotation (first level): same contract as
-    make_blind_rotate but consumes balanced BSK planes (n, N, 32) int32
-    (see :func:`tfhe_omr_tpu.ops.pallas_fused.make_bsk_balanced`).
-    Bit-identical to the XLA path.
+    make_blind_rotate but consumes balanced BSK planes — unpaired
+    (n, N, 32) int32 from :func:`pallas_fused.make_bsk_balanced`, or
+    paired (n/2, N, 128) int16 from
+    :func:`pallas_fused.make_bsk_balanced_paired`.
+    Bit-identical to the XLA path with the same ``paired`` setting.
     """
     from tfhe_omr_tpu.ops.pallas_fused import FusedBlindRotateL1
 
     fused = FusedBlindRotateL1(
-        field, ntt, gadget.d, gadget.log_b, interpret=interpret
+        field, ntt, gadget.d, gadget.log_b, interpret=interpret,
+        rows=3 if paired else 1,
     )
     build_tables, _ = make_mono_powers(field, ntt)
+    two_n = 2 * ntt.n
 
     def blind_rotate(acc, amounts, bsk_bal):
+        if paired:
+            n_lwe = amounts.shape[0]
+            assert n_lwe % 2 == 0
+            a0 = amounts[0::2]
+            a1 = amounts[1::2]
+            a01 = (a0 + a1) % two_n
+            amounts = jnp.stack([a0, a1, a01], axis=1).reshape(
+                3 * (n_lwe // 2), amounts.shape[1]
+            )
         p1, p2 = build_tables(amounts)
+        if paired:
+            # (n_e, 3*n_steps, B) -> step-major (n_steps, 3, n_e, B)
+            n_steps = p1.shape[1] // 3
+            p1 = p1.transpose(1, 0, 2).reshape(n_steps, 3, *p1.shape[::2])
+            p2 = p2.transpose(1, 0, 2).reshape(n_steps, 3, *p2.shape[::2])
         return fused(
             acc.astype(jnp.int32),
             p1.astype(jnp.int32),

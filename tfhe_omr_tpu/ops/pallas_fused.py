@@ -66,6 +66,31 @@ def make_bsk_balanced(bsk_int: np.ndarray, q: int) -> np.ndarray:
     )
 
 
+def make_bsk_balanced_paired(bsk_int: np.ndarray, q: int) -> np.ndarray:
+    """Host prep for the PAIRED first-level kernel: (3*n_steps, N, d, 2, 2)
+    int BSK in [0, q), q < 2**27 -> (n_steps, N, 128) int16 balanced planes.
+
+    Same balanced split as :func:`make_bsk_balanced`; column layout
+    ``t*32 + ((p*d + j)*2 + c)*2 + o`` for RGSW row t in {m10, m01, m11},
+    96 used columns zero-padded to 128 (int16 VMEM lane tile).
+    """
+    rows, n, d, c2, o2 = bsk_int.shape
+    assert rows % 3 == 0
+    n_steps = rows // 3
+    kb = bsk_int.astype(np.int64)
+    kb = kb - q * (kb > q // 2)
+    hi = (kb + (1 << 13)) >> 14
+    lo = kb - (hi << 14)
+    planes = np.stack([lo, hi], axis=2)  # (3*n_steps, N, 2, d, 2, 2)
+    tstr = 2 * d * c2 * o2  # per-RGSW-row column stride
+    planes = planes.reshape(n_steps, 3, n, tstr)
+    planes = planes.transpose(0, 2, 1, 3).reshape(n_steps, n, 3 * tstr)
+    width = -(-(3 * tstr) // 128) * 128
+    out = np.zeros((n_steps, n, width), dtype=np.int16)
+    out[..., : 3 * tstr] = planes
+    return out
+
+
 class FusedBlindRotateL1:
     """blind_rotate(acc, p1, p2, bsk_bal) as one Pallas kernel (q < 2**27).
 
@@ -84,8 +109,14 @@ class FusedBlindRotateL1:
         interpret: bool = False,
         skip: frozenset = frozenset(),
         batched_dot: bool = False,
+        rows: int = 1,
     ):
         assert field.bits <= 27
+        assert rows in (1, 3)
+        #: 1 = one RGSW row per step; 3 = pairwise (BMMP) CMUX — each step
+        #: handles TWO LWE coefficients with rows [m10, m01, m11] and
+        #: rotations [a0, a1, a0+a1] sharing one decomposition + forward NTT
+        self.rows = rows
         self.skip = skip  # timing ablations: {"dec","fwd","mono","mac","intt"}
         #: lower the per-k0 level-1 NTT dots as ONE batched dot_general over
         #: the k0 axis instead of r unrolled small matmuls
@@ -128,15 +159,27 @@ class FusedBlindRotateL1:
         return v - q * (v >= q)
 
     def _horner7(self, groups):
-        """Recombine 2**7-spaced int32 groups (possibly signed) mod q."""
+        """Recombine 2**7-spaced int32 groups (possibly signed) mod q.
+
+        Adjacent groups are pre-merged pairwise (``g_lo + 2**7 g_hi``, safe:
+        int8-dot groups stay below 2**22 so pairs stay below 2**29) and the
+        fold chain runs at radix 2**14 — half the per-element mod-q folds.
+        """
         f = self.field
         qbits = f.bits
-        acc = groups[-1]
-        for s in range(len(groups) - 2, -1, -1):
+        paired = [
+            groups[s] + (groups[s + 1] << DIGIT_BITS)
+            if s + 1 < len(groups)
+            else groups[s]
+            for s in range(0, len(groups), 2)
+        ]
+        radix = 2 * DIGIT_BITS
+        acc = paired[-1]
+        for s in range(len(paired) - 2, -1, -1):
             acc = self._norm(self._fold(acc))
-            hi = acc >> (qbits - DIGIT_BITS)
-            lo = acc & jnp.int32((1 << (qbits - DIGIT_BITS)) - 1)
-            acc = hi * jnp.int32(f.eps) + (lo << DIGIT_BITS) + groups[s]
+            hi = acc >> (qbits - radix)
+            lo = acc & jnp.int32((1 << (qbits - radix)) - 1)
+            acc = hi * jnp.int32(f.eps) + (lo << radix) + paired[s]
             acc = self._fold(acc)
         return self._norm(self._fold(acc))
 
@@ -338,42 +381,63 @@ class FusedBlindRotateL1:
                         jnp.int32(0), jnp.int32(r), fwd_k0, jnp.int32(0)
                     )
 
-            # ---- 3. mono multiplier values (N, Bt)
-            if "mono" not in skip:
-                sel1 = self._onehot_mono(ohlo_ref[:], p1_ref[0])
-                sel2 = self._onehot_mono(ohhi_ref[:], p2_ref[0])
-                mono = self._mul_balanced(sel1, sel2) - 1
-                mono = mono + q32 * (mono < 0)
-            else:
-                mono = p1_ref[0, 0:1, :] + jnp.zeros((n, bt), jnp.int32)
-            m_lo, m_hi = self._balance(mono)
-
-            # ---- 4. MAC + mono multiply -> p_s (N, 2*Bt), cols (o, b)
+            # ---- 3+4. per-RGSW-row mono + MAC + mono multiply -> p_s
+            # (N, 2*Bt), cols (o, b); paired mode accumulates the three
+            # row contributions mod q (matches the XLA paired path's
+            # mod_sum over rows)
             if "mac" not in skip:
                 dn = dig_s[:]  # (N, jc*Bt)
-                kb = bsk_ref[0]  # (N, 32) balanced plane columns
-                for o in range(2):
-                    g0 = jnp.zeros((n, bt), dtype=jnp.int32)
-                    g1 = jnp.zeros((n, bt), dtype=jnp.int32)
-                    g2 = jnp.zeros((n, bt), dtype=jnp.int32)
+                kb = bsk_ref[0]  # rows=1: (N,32) int32; rows=3: (N,128) int16
+                for t in range(self.rows):
+                    if "mono" not in skip:
+                        p1t = p1_ref[0, t] if self.rows == 3 else p1_ref[0]
+                        p2t = p2_ref[0, t] if self.rows == 3 else p2_ref[0]
+                        sel1 = self._onehot_mono(ohlo_ref[:], p1t)
+                        sel2 = self._onehot_mono(ohhi_ref[:], p2t)
+                        mono = self._mul_balanced(sel1, sel2) - 1
+                        mono = mono + q32 * (mono < 0)
+                    else:
+                        p1t = (
+                            p1_ref[0, t, 0:1, :]
+                            if self.rows == 3
+                            else p1_ref[0, 0:1, :]
+                        )
+                        mono = p1t + jnp.zeros((n, bt), jnp.int32)
+                    m_lo, m_hi = self._balance(mono)
+                    g = [
+                        [jnp.zeros((n, bt), dtype=jnp.int32) for _ in range(3)]
+                        for _ in range(2)
+                    ]
                     for j in range(d):
                         for cc in range(2):
                             col = (j * 2 + cc) * bt
-                            base = ((0 * d + j) * 2 + cc) * 2 + o
-                            k_lo = kb[:, base : base + 1]
-                            k_hi = kb[:, 16 + base : 16 + base + 1]
-                            vl, vh = self._balance(
-                                dn[:, col : col + bt]
-                            )
-                            g0 = g0 + vl * k_lo
-                            g1 = g1 + vl * k_hi + vh * k_lo
-                            g2 = g2 + vh * k_hi
-                    p = self._recombine14(g0, g1, g2)  # (N, Bt) in [0, q)
-                    # multiply by mono (both balanced; exact)
-                    p_lo, p_hi = self._balance(p)
-                    p_s[:, o * bt : (o + 1) * bt] = self._recombine14(
-                        p_lo * m_lo, p_lo * m_hi + p_hi * m_lo, p_hi * m_hi
-                    )
+                            # ONE balance per digit column, shared by both
+                            # output components
+                            vl, vh = self._balance(dn[:, col : col + bt])
+                            for o in range(2):
+                                base = t * 8 * d + (j * 2 + cc) * 2 + o
+                                k_lo = kb[:, base : base + 1].astype(
+                                    jnp.int32
+                                )
+                                hb = 4 * d + base  # hi-plane column
+                                k_hi = kb[:, hb : hb + 1].astype(jnp.int32)
+                                g[o][0] = g[o][0] + vl * k_lo
+                                g[o][1] = g[o][1] + vl * k_hi + vh * k_lo
+                                g[o][2] = g[o][2] + vh * k_hi
+                    for o in range(2):
+                        p = self._recombine14(*g[o])  # (N, Bt) in [0, q)
+                        # multiply by mono (both balanced; exact)
+                        p_lo, p_hi = self._balance(p)
+                        r_val = self._recombine14(
+                            p_lo * m_lo, p_lo * m_hi + p_hi * m_lo,
+                            p_hi * m_hi,
+                        )
+                        sl = slice(o * bt, (o + 1) * bt)
+                        if t == 0:
+                            p_s[:, sl] = r_val
+                        else:
+                            s_val = p_s[:, sl] + r_val
+                            p_s[:, sl] = s_val - q32 * (s_val >= q32)
 
             # ---- 5. inverse NTT of p_s -> delta, accumulate into acc_s
             if "intt" not in skip:
@@ -414,11 +478,16 @@ class FusedBlindRotateL1:
                 o_ref[:] = new_acc
 
         def call(acc, p1, p2, bsk_bal):
-            """acc (N, 2, B) int32; p1 (n_lo, n_steps, B) int32;
-            p2 (n_hi, n_steps, B); bsk_bal (n_steps, N, 32) int32
+            """acc (N, 2, B) int32.
+
+            rows=1: p1 (n_lo, n_steps, B) int32, p2 (n_hi, n_steps, B),
+            bsk_bal (n_steps, N, 32) int32.
+            rows=3: p1 (n_steps, 3, n_lo, B) int32 (already step-major),
+            p2 (n_steps, 3, n_hi, B), bsk_bal (n_steps, N, 128) int16.
             -> (N, 2, B) int32."""
-            p1 = p1.transpose(1, 0, 2)  # (n_steps, n_lo, B)
-            p2 = p2.transpose(1, 0, 2)
+            if self.rows == 1:
+                p1 = p1.transpose(1, 0, 2)  # (n_steps, n_lo, B)
+                p2 = p2.transpose(1, 0, 2)
             n_, _, b = acc.shape
             acc = acc.transpose(1, 0, 2)  # (2, N, B)
             n_steps = bsk_bal.shape[0]
@@ -429,6 +498,34 @@ class FusedBlindRotateL1:
             const_spec = lambda arr: pl.BlockSpec(
                 arr.shape,
                 lambda i, s, _nd=arr.ndim: (i32(0),) * _nd,
+                memory_space=pltpu.VMEM,
+            )
+            bw = bsk_bal.shape[-1]
+            if self.rows == 3:
+                p1_spec = pl.BlockSpec(
+                    (1, 3, self.n_lo, tile),
+                    lambda i, s: (s.astype(i32), i32(0), i32(0), i.astype(i32)),
+                    memory_space=pltpu.VMEM,
+                )
+                p2_spec = pl.BlockSpec(
+                    (1, 3, self.n_hi, tile),
+                    lambda i, s: (s.astype(i32), i32(0), i32(0), i.astype(i32)),
+                    memory_space=pltpu.VMEM,
+                )
+            else:
+                p1_spec = pl.BlockSpec(
+                    (1, self.n_lo, tile),
+                    lambda i, s: (s.astype(i32), i32(0), i.astype(i32)),
+                    memory_space=pltpu.VMEM,
+                )
+                p2_spec = pl.BlockSpec(
+                    (1, self.n_hi, tile),
+                    lambda i, s: (s.astype(i32), i32(0), i.astype(i32)),
+                    memory_space=pltpu.VMEM,
+                )
+            bsk_spec = pl.BlockSpec(
+                (1, n_, bw),
+                lambda i, s: (s.astype(i32), i32(0), i32(0)),
                 memory_space=pltpu.VMEM,
             )
             out = pl.pallas_call(
@@ -447,21 +544,9 @@ class FusedBlindRotateL1:
                         lambda i, s: (i32(0), i32(0), i.astype(i32)),
                         memory_space=pltpu.VMEM,
                     ),
-                    pl.BlockSpec(
-                        (1, self.n_lo, tile),
-                        lambda i, s: (s.astype(i32), i32(0), i.astype(i32)),
-                        memory_space=pltpu.VMEM,
-                    ),
-                    pl.BlockSpec(
-                        (1, self.n_hi, tile),
-                        lambda i, s: (s.astype(i32), i32(0), i.astype(i32)),
-                        memory_space=pltpu.VMEM,
-                    ),
-                    pl.BlockSpec(
-                        (1, n_, 32),
-                        lambda i, s: (s.astype(i32), i32(0), i32(0)),
-                        memory_space=pltpu.VMEM,
-                    ),
+                    p1_spec,
+                    p2_spec,
+                    bsk_spec,
                 ],
                 out_specs=pl.BlockSpec(
                     (2, n_, tile),
@@ -726,7 +811,15 @@ class FusedBlindRotateL2:
                 s = a + b
                 blk = p[b * out_rows : (b + 1) * out_rows]
                 groups[s] = blk if groups[s] is None else groups[s] + blk
-        return self._horner_dual(groups, 7)
+        # pairwise pre-merge (groups < 2**22, pairs < 2**29): halves the
+        # dual-limb fold chain by running it at radix 2**14
+        paired = [
+            groups[s] + (groups[s + 1] << 7)
+            if s + 1 < len(groups)
+            else groups[s]
+            for s in range(0, len(groups), 2)
+        ]
+        return self._horner_dual(paired, 14)
 
     def _onehot_dual(self, oh, tab_lo, tab_hi):
         """Select (N,) rows: tab limbs (n_e, Bt) -> limbs (N, Bt), exact."""
@@ -858,6 +951,22 @@ class FusedBlindRotateL2:
             # dual-limb-accumulated straight into the plo/phi scratch so no
             # accumulator value stays live across the big unrolled sections
             if "mac" not in skip:
+                # pack the balanced 13-bit digit planes of dn ONCE (shared
+                # by all six (t, o) MAC passes): dig_s <- d0 | d1<<16,
+                # dnhi_s <- d2 | d3<<16 (sign-extending unpack in mac_jj)
+                m16 = jnp.int32(0xFFFF)
+
+                def pack_jj(jj, _):
+                    jj = jj.astype(jnp.int32)
+                    cs = pl.ds(jj * jnp.int32(bt), bt)
+                    vp = self._bal13(dig_s[:, cs], dnhi_s[:, cs])
+                    dig_s[:, cs] = (vp[0] & m16) | (vp[1] << 16)
+                    dnhi_s[:, cs] = (vp[2] & m16) | (vp[3] << 16)
+                    return jnp.int32(0)
+
+                jax.lax.fori_loop(
+                    jnp.int32(0), jnp.int32(jc), pack_jj, jnp.int32(0)
+                )
                 zero = jnp.zeros((n, bt), jnp.int32)
                 for t in range(3):
                     if "mono" not in skip:
@@ -882,7 +991,14 @@ class FusedBlindRotateL2:
                         def mac_jj(jj, groups, _t=t, _o=o):
                             jj = jj.astype(jnp.int32)
                             cs = pl.ds(jj * jnp.int32(bt), bt)
-                            vp = self._bal13(dig_s[:, cs], dnhi_s[:, cs])
+                            w01 = dig_s[:, cs]
+                            w23 = dnhi_s[:, cs]
+                            vp = [
+                                (w01 << 16) >> 16,
+                                w01 >> 16,
+                                (w23 << 16) >> 16,
+                                w23 >> 16,
+                            ]
                             kj = bsk_ref[0, pl.ds(jj, 1), :, :].reshape(
                                 n, 32
                             )

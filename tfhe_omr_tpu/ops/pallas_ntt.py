@@ -127,13 +127,22 @@ class PallasNtt:
                 s = a + b
                 blk = p[b * out_rows : (b + 1) * out_rows]
                 s_groups[s] = blk if s_groups[s] is None else s_groups[s] + blk
-        acc = s_groups[n_groups - 1]
-        for s in range(n_groups - 2, -1, -1):
-            # acc*2^7 mod q in int32: acc = hi*2^(qbits-7) + lo
+        # pairwise pre-merge (groups < 2**22, pairs < 2**29): halves the
+        # per-element mod-q fold chain by running it at radix 2**14
+        paired = [
+            s_groups[s] + (s_groups[s + 1] << DIGIT_BITS)
+            if s + 1 < n_groups
+            else s_groups[s]
+            for s in range(0, n_groups, 2)
+        ]
+        radix = 2 * DIGIT_BITS
+        acc = paired[-1]
+        for s in range(len(paired) - 2, -1, -1):
+            # acc*2^14 mod q in int32: acc = hi*2^(qbits-14) + lo
             acc = acc - jnp.int32(q) * (acc >= jnp.int32(q))
-            hi = acc >> (qbits - DIGIT_BITS)
-            lo = acc & jnp.int32((1 << (qbits - DIGIT_BITS)) - 1)
-            acc = hi * jnp.int32(eps) + (lo << DIGIT_BITS) + s_groups[s]
+            hi = acc >> (qbits - radix)
+            lo = acc & jnp.int32((1 << (qbits - radix)) - 1)
+            acc = hi * jnp.int32(eps) + (lo << radix) + paired[s]
             acc = (acc >> qbits) * jnp.int32(eps) + (
                 acc & jnp.int32((1 << qbits) - 1)
             )
