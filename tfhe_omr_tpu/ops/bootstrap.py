@@ -38,6 +38,7 @@ def make_fused_blind_rotate(
     gadget: SignedGadget,
     interpret: bool = False,
     paired: bool = False,
+    single_dot: bool = False,
 ):
     """Fused-kernel blind rotation (first level): same contract as
     make_blind_rotate but consumes balanced BSK planes — unpaired
@@ -50,7 +51,7 @@ def make_fused_blind_rotate(
 
     fused = FusedBlindRotateL1(
         field, ntt, gadget.d, gadget.log_b, interpret=interpret,
-        rows=3 if paired else 1,
+        rows=3 if paired else 1, single_dot=single_dot,
     )
     build_tables, _ = make_mono_powers(field, ntt)
     two_n = 2 * ntt.n

@@ -110,9 +110,17 @@ class FusedBlindRotateL1:
         skip: frozenset = frozenset(),
         batched_dot: bool = False,
         rows: int = 1,
+        single_dot: bool = False,
     ):
         assert field.bits <= 27
         assert rows in (1, 3)
+        #: run the forward/inverse NTTs as ONE full (L*N, N) int8 MXU dot
+        #: (plus Horner) instead of the two-level factorisation — trades
+        #: N/r times more (cheap, underutilised) MXU MACs for the mid-level
+        #: plane extraction + Horner VPU work
+        self.single_dot = single_dot
+        if single_dot:
+            assert hasattr(ntt, "_wf_full")
         #: 1 = one RGSW row per step; 3 = pairwise (BMMP) CMUX — each step
         #: handles TWO LWE coefficients with rows [m10, m01, m11] and
         #: rotations [a0, a1, a0+a1] sharing one decomposition + forward NTT
@@ -158,22 +166,26 @@ class FusedBlindRotateL1:
         v = v - q * (v >= q)
         return v - q * (v >= q)
 
-    def _horner7(self, groups):
+    def _horner7(self, groups, pair: bool = True):
         """Recombine 2**7-spaced int32 groups (possibly signed) mod q.
 
-        Adjacent groups are pre-merged pairwise (``g_lo + 2**7 g_hi``, safe:
-        int8-dot groups stay below 2**22 so pairs stay below 2**29) and the
-        fold chain runs at radix 2**14 — half the per-element mod-q folds.
+        With ``pair`` (valid when groups stay below 2**23, e.g. 32-deep
+        int8 dots), adjacent groups are pre-merged (``g_lo + 2**7 g_hi``)
+        and the fold chain runs at radix 2**14 — half the mod-q folds.
         """
         f = self.field
         qbits = f.bits
-        paired = [
-            groups[s] + (groups[s + 1] << DIGIT_BITS)
-            if s + 1 < len(groups)
-            else groups[s]
-            for s in range(0, len(groups), 2)
-        ]
-        radix = 2 * DIGIT_BITS
+        if pair:
+            paired = [
+                groups[s] + (groups[s + 1] << DIGIT_BITS)
+                if s + 1 < len(groups)
+                else groups[s]
+                for s in range(0, len(groups), 2)
+            ]
+            radix = 2 * DIGIT_BITS
+        else:
+            paired = list(groups)
+            radix = DIGIT_BITS
         acc = paired[-1]
         for s in range(len(paired) - 2, -1, -1):
             acc = self._norm(self._fold(acc))
@@ -221,8 +233,12 @@ class FusedBlindRotateL1:
             for a in range(self.levels)
         ]
 
-    def _level_dot(self, x_planes, w_planes, out_rows):
-        """Digit-matmul NTT level: x_planes list of int8 (rows, X)."""
+    def _level_dot(self, x_planes, w_planes, out_rows, pair: bool = True):
+        """Digit-matmul NTT level: x_planes list of int8 (rows, X).
+
+        ``pair`` must be False when the contraction is deep enough that
+        groups can exceed 2**23 (the 1024-deep full-matrix dots with
+        full-range inputs)."""
         L = self.levels
         in_levels = len(x_planes)
         groups = [None] * (in_levels + L - 1)
@@ -237,7 +253,7 @@ class FusedBlindRotateL1:
                 s = a + b
                 blk = p[b * out_rows : (b + 1) * out_rows]
                 groups[s] = blk if groups[s] is None else groups[s] + blk
-        return self._horner7(groups)
+        return self._horner7(groups, pair)
 
     def _level1_batched(self, x3, w1k):
         """Per-k0 twiddle-folded level as ONE batched dot_general.
@@ -315,17 +331,22 @@ class FusedBlindRotateL1:
     def _make_call(self):
         n, r, c, d = self.n, self.r, self.c, self.d
         pn = self.ntt
-        w0f, w1f = pn._w0_f, pn._w1_f
-        w0i, w1i = pn._w0_i, pn._w1_i
+        if self.single_dot:
+            w0f, w1f = pn._wf_full, pn._w1_f
+            w0i, w1i = pn._wi_full, pn._w1_i
+        else:
+            w0f, w1f = pn._w0_f, pn._w1_f
+            w0i, w1i = pn._w0_i, pn._w1_i
         oh_lo, oh_hi = self._oh_lo, self._oh_hi
         jc = 2 * d  # digit columns per batch element
         lvl0_chunk = 8192
+        full_chunk = 512  # single-dot column chunk (bounds the (L*N, X) temp)
 
         def kernel(
             w0f_ref, w1f_ref, w0i_ref, w1i_ref, ohlo_ref, ohhi_ref,
             acc_ref, p1_ref, p2_ref, bsk_ref,
             o_ref,
-            acc_s, dig_s, a_s, p_s, y_s,
+            acc_s, dig_s, a_s, p_s, y_s, pg_s,
         ):
             step = pl.program_id(1)
             n_steps = pl.num_programs(1)
@@ -348,7 +369,15 @@ class FusedBlindRotateL1:
                         )
 
             # ---- 2. forward NTT of signed digits -> dn in dig_s (reused)
-            if "fwd" not in skip:
+            # (single-dot mode: dn lands in a_s viewed as (N, jc*Bt))
+            if "fwd" not in skip and self.single_dot:
+                xw = jc * bt
+                for s0 in range(0, xw, full_chunk):
+                    e0 = min(xw, s0 + full_chunk)
+                    a_s[:, s0:e0] = self._level_dot(
+                        [dig_s[:, s0:e0].astype(jnp.int8)], w0f_ref[:], n
+                    )
+            elif "fwd" not in skip:
                 # level 0: single signed int8 data plane
                 xv = dig_s[:].reshape(r, c * jc * bt)
                 for s0 in range(0, c * jc * bt, lvl0_chunk):
@@ -386,7 +415,7 @@ class FusedBlindRotateL1:
             # row contributions mod q (matches the XLA paired path's
             # mod_sum over rows)
             if "mac" not in skip:
-                dn = dig_s[:]  # (N, jc*Bt)
+                dn = a_s[:] if self.single_dot else dig_s[:]  # (N, jc*Bt)
                 kb = bsk_ref[0]  # rows=1: (N,32) int32; rows=3: (N,128) int16
                 for t in range(self.rows):
                     if "mono" not in skip:
@@ -426,22 +455,36 @@ class FusedBlindRotateL1:
                                 g[o][2] = g[o][2] + vh * k_hi
                     for o in range(2):
                         p = self._recombine14(*g[o])  # (N, Bt) in [0, q)
-                        # multiply by mono (both balanced; exact)
+                        # multiply by mono (both balanced; exact) and
+                        # accumulate the product GROUPS across RGSW rows
+                        # (|group| < 2**27, <= 3 rows < 2**29): one final
+                        # recombine per output instead of one per row
                         p_lo, p_hi = self._balance(p)
-                        r_val = self._recombine14(
-                            p_lo * m_lo, p_lo * m_hi + p_hi * m_lo,
+                        pg = (
+                            p_lo * m_lo,
+                            p_lo * m_hi + p_hi * m_lo,
                             p_hi * m_hi,
                         )
-                        sl = slice(o * bt, (o + 1) * bt)
-                        if t == 0:
-                            p_s[:, sl] = r_val
-                        else:
-                            s_val = p_s[:, sl] + r_val
-                            p_s[:, sl] = s_val - q32 * (s_val >= q32)
+                        for s_ in range(3):
+                            if t == 0:
+                                pg_s[o, s_] = pg[s_]
+                            else:
+                                pg_s[o, s_] = pg_s[o, s_] + pg[s_]
+                for o in range(2):
+                    sl = slice(o * bt, (o + 1) * bt)
+                    p_s[:, sl] = self._recombine14(
+                        pg_s[o, 0], pg_s[o, 1], pg_s[o, 2]
+                    )
 
             # ---- 5. inverse NTT of p_s -> delta, accumulate into acc_s
             if "intt" not in skip:
-                if self.batched_dot:
+                if self.single_dot:
+                    # 1024-deep full-range dots: groups reach 2**26, so the
+                    # Horner runs unpaired (radix 2**7)
+                    z = self._level_dot(
+                        self._planes7(p_s[:]), w0i_ref[:], n, pair=False
+                    )
+                elif self.batched_dot:
                     pv = p_s[:].reshape(r, c, 2 * bt)
                     y3 = self._level1_batched(pv, w1i_ref[:])
                     z = self._level_dot(
@@ -556,9 +599,17 @@ class FusedBlindRotateL1:
                 scratch_shapes=[
                     pltpu.VMEM((2, n_, tile), jnp.int32),       # acc_s
                     pltpu.VMEM((n_, jc * tile), jnp.int32),     # dig_s / dn
-                    pltpu.VMEM((r, c * jc * tile), jnp.int32),  # a_s
+                    # a_s: level-0 staging (two-level) or the dn buffer of
+                    # the single-dot forward transform
+                    pltpu.VMEM(
+                        (n_, jc * tile)
+                        if self.single_dot
+                        else (r, c * jc * tile),
+                        jnp.int32,
+                    ),
                     pltpu.VMEM((n_, 2 * tile), jnp.int32),      # p_s
                     pltpu.VMEM((r, c * 2 * tile), jnp.int32),   # y_s
+                    pltpu.VMEM((2, 3, n_, tile), jnp.int32),    # pg_s
                 ],
                 compiler_params=pltpu.CompilerParams(
                     vmem_limit_bytes=110 * 1024 * 1024,
@@ -717,23 +768,20 @@ class FusedBlindRotateL2:
             ahi = ahi - gi * q_hi - neg
         return alo, ahi
 
-    def _mul_bal(self, ap, bp, extra_groups=None):
-        """Product of two balanced-plane sets -> canonical limbs."""
+    def _prod_groups(self, ap, bp):
+        """13-bit-grid product groups of two balanced-plane sets
+        (|group| < 2**26; up to 3 such sets may be summed in int32)."""
         groups = [None] * 7
         for a in range(4):
             for b in range(4):
                 s = a + b
                 t = ap[a] * bp[b]
                 groups[s] = t if groups[s] is None else groups[s] + t
-        if extra_groups is not None:
-            for s in range(7):
-                extra_groups[s] = (
-                    groups[s]
-                    if extra_groups[s] is None
-                    else extra_groups[s] + groups[s]
-                )
-            return extra_groups
-        return self._horner_dual(groups, 13)
+        return groups
+
+    def _mul_bal(self, ap, bp):
+        """Product of two balanced-plane sets -> canonical limbs."""
+        return self._horner_dual(self._prod_groups(ap, bp), 13)
 
     def _digit_planes8(self, lo, hi):
         """8 unsigned 7-bit int8 planes of canonical limbs (PallasNtt50)."""
@@ -881,7 +929,7 @@ class FusedBlindRotateL2:
             w0f_ref, w1f_ref, w0i_ref, w1i_ref, ohlo_ref, ohhi_ref,
             acc_ref, p1_ref, p2_ref, bsk_ref,
             o_ref,
-            acc_s, dig_s, dnhi_s, slo_s, shi_s, plo_s, phi_s,
+            acc_s, dig_s, dnhi_s, slo_s, shi_s, plo_s, phi_s, pg_s,
         ):
             step = pl.program_id(1)
             n_steps = pl.num_programs(1)
@@ -1015,19 +1063,23 @@ class FusedBlindRotateL2:
                             jnp.int32(0), jnp.int32(jc), mac_jj, (zero,) * 7
                         )
                         plo, phi = self._horner_dual(list(groups), 13)
-                        rlo, rhi = self._mul_bal(
-                            self._bal13(plo, phi), mono_t
-                        )
-                        sl = slice(o * bt, (o + 1) * bt)
-                        if t == 0:
-                            plo_s[:, sl] = rlo
-                            phi_s[:, sl] = rhi
-                        else:
-                            alo, ahi = self._add_canonical(
-                                plo_s[:, sl], phi_s[:, sl], rlo, rhi
-                            )
-                            plo_s[:, sl] = alo
-                            phi_s[:, sl] = ahi
+                        # accumulate the mono-product GROUPS across the 3
+                        # RGSW rows (|group| < 2**26, 3 rows < 2**28): one
+                        # Horner per output component instead of three
+                        # Horners + canonical adds
+                        pg = self._prod_groups(self._bal13(plo, phi), mono_t)
+                        for s_ in range(7):
+                            if t == 0:
+                                pg_s[o, s_] = pg[s_]
+                            else:
+                                pg_s[o, s_] = pg_s[o, s_] + pg[s_]
+                for o in range(2):
+                    rlo, rhi = self._horner_dual(
+                        [pg_s[o, s_] for s_ in range(7)], 13
+                    )
+                    sl = slice(o * bt, (o + 1) * bt)
+                    plo_s[:, sl] = rlo
+                    phi_s[:, sl] = rhi
 
             # ---- 5. inverse NTT + accumulate (y staging reuses slo/shi:
             # (r, c*2*bt) == their (r, c*ch_w) shape)
@@ -1145,6 +1197,7 @@ class FusedBlindRotateL2:
                     pltpu.VMEM((r, c * 2 * tile), jnp.int32),      # shi_s
                     pltpu.VMEM((n_, 2 * tile), jnp.int32),         # plo_s
                     pltpu.VMEM((n_, 2 * tile), jnp.int32),         # phi_s
+                    pltpu.VMEM((2, 7, n_, tile), jnp.int32),       # pg_s
                 ],
                 compiler_params=pltpu.CompilerParams(
                     vmem_limit_bytes=110 * 1024 * 1024,

@@ -102,6 +102,18 @@ class PallasNtt:
                 [_digit_plane_stack(w1k_i[k0], self.levels) for k0 in range(r)]
             )
         )
+        # single-stage full DFT matrices (used by the fused kernel's
+        # single-dot mode): M_f[k, j] = psi^(o_k * j),
+        # M_i[j, k] = n_inv * psi^(-o_k * j) — mathematically identical to
+        # the two-level plan (same orders), so results stay bit-exact
+        pow2n = self.ref._psi_pow_2n
+        two_n = 2 * n
+        oj = (np.asarray(self.orders)[:, None] * np.arange(n)[None, :]) % two_n
+        mf = pow2n[oj]
+        mi = (pow2n[(-oj) % two_n] * self.n_inv) % q
+        self._wf_full = jnp.asarray(_digit_plane_stack(mf, self.levels))
+        self._wi_full = jnp.asarray(_digit_plane_stack(mi.T, self.levels))
+
         self._fwd_call = self._make_call(inverse=False)
         self._inv_call = self._make_call(inverse=True)
 
