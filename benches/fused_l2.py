@@ -20,6 +20,7 @@ def main():
     ap.add_argument("--steps", type=int, default=335)
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--skip-xla", action="store_true")
+    ap.add_argument("--single-dot", action="store_true")
     args = ap.parse_args()
 
     import jax
@@ -78,7 +79,7 @@ def main():
         )
         return np.asarray(out), best
 
-    br_fused = jax.jit(make_fused_blind_rotate2(f, ntt, g))
+    br_fused = jax.jit(make_fused_blind_rotate2(f, ntt, g, single_dot=args.single_dot))
     out_f, t_f = bench(lambda: br_fused(acc0, amounts, bsk_bal), "fused")
 
     if not args.skip_xla:

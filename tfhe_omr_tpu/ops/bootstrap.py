@@ -83,7 +83,11 @@ def make_fused_blind_rotate(
 
 
 def make_fused_blind_rotate2(
-    field: PrimeField, ntt, gadget: SignedGadget, interpret: bool = False
+    field: PrimeField,
+    ntt,
+    gadget: SignedGadget,
+    interpret: bool = False,
+    single_dot: bool = False,
 ):
     """Fused-kernel PAIRED blind rotation (second level, 50-bit field):
     same contract as make_blind_rotate(paired=True) but consumes balanced
@@ -94,7 +98,8 @@ def make_fused_blind_rotate2(
     from tfhe_omr_tpu.ops.pallas_fused import FusedBlindRotateL2
 
     fused = FusedBlindRotateL2(
-        field, ntt, gadget.d, gadget.log_b, interpret=interpret
+        field, ntt, gadget.d, gadget.log_b, interpret=interpret,
+        single_dot=single_dot,
     )
     build_tables, _ = make_mono_powers(field, ntt)
     two_n = 2 * ntt.n

@@ -679,8 +679,15 @@ class FusedBlindRotateL2:
         tile: int = 128,
         interpret: bool = False,
         skip: frozenset = frozenset(),
+        single_dot: bool = False,
     ):
         assert field.bits == 50
+        #: forward NTT as ONE full (8N, N) int8 MXU dot (digits are a
+        #: single signed plane); the inverse stays two-level (8 full-range
+        #: input planes would octuple the dot cost there)
+        self.single_dot = single_dot
+        if single_dot:
+            assert hasattr(ntt, "_wf_full")
         self.field = field
         self.ntt = ntt
         self.d = d
@@ -843,8 +850,11 @@ class FusedBlindRotateL2:
             u_lo = u_lo + carry
         return digs
 
-    def _level_dot_dual(self, x_planes, w_planes, out_rows):
-        """NTT level: x_planes (list of int8 (rows, X)), dual-limb output."""
+    def _level_dot_dual(self, x_planes, w_planes, out_rows, pair=True):
+        """NTT level: x_planes (list of int8 (rows, X)), dual-limb output.
+
+        ``pair`` must be False when groups can exceed 2**23 (the
+        2048-deep single-dot forward)."""
         L = self.levels
         in_levels = len(x_planes)
         groups = [None] * (in_levels + L - 1)
@@ -859,6 +869,8 @@ class FusedBlindRotateL2:
                 s = a + b
                 blk = p[b * out_rows : (b + 1) * out_rows]
                 groups[s] = blk if groups[s] is None else groups[s] + blk
+        if not pair:
+            return self._horner_dual(groups, 7)
         # pairwise pre-merge (groups < 2**22, pairs < 2**29): halves the
         # dual-limb fold chain by running it at radix 2**14
         paired = [
@@ -919,7 +931,12 @@ class FusedBlindRotateL2:
     def _make_call(self):
         n, r, c, d = self.n, self.r, self.c, self.d
         pn = self.ntt
-        w0f, w1f = pn._w0_f, pn._w1_f
+        if self.single_dot:
+            # w1f is unused in single-dot forward mode; keep a tiny
+            # placeholder so the kernel signature stays fixed
+            w0f, w1f = pn._wf_full, pn._w1_f[:1]
+        else:
+            w0f, w1f = pn._w0_f, pn._w1_f
         w0i, w1i = pn._w0_i, pn._w1_i
         oh_lo, oh_hi = self._oh_lo, self._oh_hi
         jc = 2 * d
@@ -960,7 +977,19 @@ class FusedBlindRotateL2:
             # overwrites the (consumed) digit columns in dig_s. All loops
             # are in-kernel fori_loops with dynamic ref slices — a fully
             # unrolled body spills hundreds of MB of vregs (PERF_NOTES.md).
-            if "fwd" not in skip:
+            if "fwd" not in skip and self.single_dot:
+                # one (8N, N) int8 dot per column chunk; 2048-deep groups
+                # exceed the pairing bound, so the Horner runs at radix 7
+                xw = jc * bt
+                for s0 in range(0, xw, ch_w):
+                    e0 = min(xw, s0 + ch_w)
+                    x_chunk = dig_s[:, s0:e0].astype(jnp.int8)
+                    lo_o, hi_o = self._level_dot_dual(
+                        [x_chunk], w0f_ref[:], n, pair=False
+                    )
+                    dig_s[:, s0:e0] = lo_o
+                    dnhi_s[:, s0:e0] = hi_o
+            elif "fwd" not in skip:
 
                 def fwd_chunk(ci, _):
                     s0 = ci.astype(jnp.int32) * jnp.int32(ch_w)

@@ -365,6 +365,15 @@ class PallasNtt50:
         )
         self._perm_inv = np.argsort(self._perm)
 
+        # full forward DFT matrix (fused kernel's single-dot forward mode):
+        # M_f[k, j] = psi^(o_k * j) — same orders, bit-exact; pure table
+        # lookup, no modular multiplies needed
+        two_n = 2 * n
+        oj = (self.orders[:, None] * np.arange(n, dtype=np.int64)[None, :]) % two_n
+        self._wf_full = jnp.asarray(
+            _digit_plane_stack(self._psi_pow_2n[oj], self.levels)
+        )
+
         self._fwd_call = self._make_call(inverse=False)
         self._inv_call = self._make_call(inverse=True)
 
