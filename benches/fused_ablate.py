@@ -20,6 +20,7 @@ def main():
     from tfhe_omr_tpu.ops.pallas_fused import (
         FusedBlindRotateL1,
         make_bsk_balanced,
+        make_bsk_balanced_paired,
     )
 
     params = OmrParameters.default()
@@ -29,20 +30,32 @@ def main():
     B = int(os.environ.get("AB_BATCH", "896"))
     steps = int(os.environ.get("AB_STEPS", "512"))
     tile = int(os.environ.get("AB_TILE", "128"))
+    paired = os.environ.get("AB_PAIRED", "1") == "1"
+    single_dot = os.environ.get("AB_SINGLEDOT", "1") == "1"
+    rows = 3 if paired else 1
     rng = np.random.default_rng(0)
 
     acc0 = jnp.asarray(
         rng.integers(0, f.q, size=(n, 2, B), dtype=np.int64).astype(np.int32)
     )
     amounts = jnp.asarray(
-        rng.integers(0, 2 * n, size=(steps, B), dtype=np.int64)
+        rng.integers(0, 2 * n, size=(rows * steps, B), dtype=np.int64)
     )
-    bsk_np = rng.integers(0, f.q, size=(steps, n, d, 2, 2), dtype=np.int64)
-    bsk_bal = jnp.asarray(make_bsk_balanced(bsk_np, f.q))
+    bsk_np = rng.integers(
+        0, f.q, size=(rows * steps, n, d, 2, 2), dtype=np.int64
+    )
+    bsk_bal = jnp.asarray(
+        make_bsk_balanced_paired(bsk_np, f.q)
+        if paired
+        else make_bsk_balanced(bsk_np, f.q)
+    )
     build_tables, _ = make_mono_powers(f, ntt)
     p1, p2 = jax.jit(build_tables)(amounts)
     p1 = p1.astype(jnp.int32)
     p2 = p2.astype(jnp.int32)
+    if paired:
+        p1 = p1.transpose(1, 0, 2).reshape(steps, 3, p1.shape[0], B)
+        p2 = p2.transpose(1, 0, 2).reshape(steps, 3, p2.shape[0], B)
     jax.block_until_ready((p1, p2))
 
     variants = os.environ.get(
@@ -50,7 +63,10 @@ def main():
     ).split(",")
     for v in variants:
         skip = frozenset() if v == "none" else frozenset(v.split("+"))
-        fused = FusedBlindRotateL1(f, ntt, g.d, g.log_b, tile=tile, skip=skip)
+        fused = FusedBlindRotateL1(
+            f, ntt, g.d, g.log_b, tile=tile, skip=skip, rows=rows,
+            single_dot=single_dot,
+        )
         fn = jax.jit(lambda a, q1, q2, k: fused(a, q1, q2, k))
         t0 = time.perf_counter()
         out = fn(acc0, p1, p2, bsk_bal)

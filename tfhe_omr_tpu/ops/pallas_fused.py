@@ -786,6 +786,37 @@ class FusedBlindRotateL2:
                 groups[s] = t if groups[s] is None else groups[s] + t
         return groups
 
+    def _norm_groups13(self, groups):
+        """Signed 13-bit-grid groups (|g| < 2**30) -> centered digit groups
+        (|d| <= 2**12), same represented integer; the final carry is split
+        into two extra digits, so 7 groups become 9."""
+        h12 = jnp.int32(1 << 12)
+        m13 = jnp.int32(8191)
+        out = []
+        carry = None
+        for g in groups:
+            if carry is not None:
+                g = g + carry
+            d = ((g + h12) & m13) - h12
+            carry = (g - d) >> 13
+            out.append(d)
+        d = ((carry + h12) & m13) - h12
+        out.append(d)
+        out.append((carry - d) >> 13)
+        return out
+
+    def _conv_groups(self, digs, planes):
+        """13-bit-grid convolution of digit groups with balanced planes:
+        len(digs)+len(planes)-1 groups, |group| <= 4 * 2**24."""
+        n_out = len(digs) + len(planes) - 1
+        out = [None] * n_out
+        for a, p in enumerate(planes):
+            for b, dg in enumerate(digs):
+                s = a + b
+                t = p * dg
+                out[s] = t if out[s] is None else out[s] + t
+        return out
+
     def _mul_bal(self, ap, bp):
         """Product of two balanced-plane sets -> canonical limbs."""
         return self._horner_dual(self._prod_groups(ap, bp), 13)
@@ -1091,20 +1122,23 @@ class FusedBlindRotateL2:
                         groups = jax.lax.fori_loop(
                             jnp.int32(0), jnp.int32(jc), mac_jj, (zero,) * 7
                         )
-                        plo, phi = self._horner_dual(list(groups), 13)
-                        # accumulate the mono-product GROUPS across the 3
-                        # RGSW rows (|group| < 2**26, 3 rows < 2**28): one
-                        # Horner per output component instead of three
-                        # Horners + canonical adds
-                        pg = self._prod_groups(self._bal13(plo, phi), mono_t)
-                        for s_ in range(7):
+                        # carry-normalize the MAC groups to centered digits
+                        # (exact, same integer) and convolve DIRECTLY with
+                        # the mono planes — no per-(row, o) Horner/balance.
+                        # Product groups (<= 2**26, 3 rows < 2**28) are
+                        # accumulated across the RGSW rows; ONE Horner per
+                        # output component reduces everything mod q.
+                        pg = self._conv_groups(
+                            self._norm_groups13(groups), mono_t
+                        )
+                        for s_ in range(12):
                             if t == 0:
                                 pg_s[o, s_] = pg[s_]
                             else:
                                 pg_s[o, s_] = pg_s[o, s_] + pg[s_]
                 for o in range(2):
                     rlo, rhi = self._horner_dual(
-                        [pg_s[o, s_] for s_ in range(7)], 13
+                        [pg_s[o, s_] for s_ in range(12)], 13
                     )
                     sl = slice(o * bt, (o + 1) * bt)
                     plo_s[:, sl] = rlo
@@ -1226,7 +1260,7 @@ class FusedBlindRotateL2:
                     pltpu.VMEM((r, c * 2 * tile), jnp.int32),      # shi_s
                     pltpu.VMEM((n_, 2 * tile), jnp.int32),         # plo_s
                     pltpu.VMEM((n_, 2 * tile), jnp.int32),         # phi_s
-                    pltpu.VMEM((2, 7, n_, tile), jnp.int32),       # pg_s
+                    pltpu.VMEM((2, 12, n_, tile), jnp.int32),      # pg_s
                 ],
                 compiler_params=pltpu.CompilerParams(
                     vmem_limit_bytes=110 * 1024 * 1024,
