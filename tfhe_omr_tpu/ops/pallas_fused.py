@@ -741,10 +741,14 @@ class FusedBlindRotateL2:
         d3 = (t2 - d2) >> 13
         return [d0, d1, d2, d3]
 
-    def _horner_dual(self, groups, radix: int):
+    def _horner_dual(self, groups, radix: int, canonical: bool = True):
         """Recombine radix-2**radix-spaced signed int32 groups mod q.
 
-        Returns canonical (lo, hi) 25-bit limbs. |group| must be < 2**30.
+        Returns canonical (lo, hi) 25-bit limbs; with ``canonical=False``
+        the final subtract-q rounds are skipped and the value is only
+        normalized (lo in [0, 2**25), hi in [0, 2**26); below 4q) — valid
+        whenever the consumer is ``_digit_planes8`` (NTT level inputs),
+        which only needs nonnegative limbs. |group| must be < 2**30.
         """
         eps = jnp.int32(self.field.eps)
         m25 = jnp.int32((1 << 25) - 1)
@@ -758,12 +762,14 @@ class FusedBlindRotateL2:
             cr = lo2 >> 25
             alo = lo2 - (cr << 25)
             ahi = hi2 + cr
-        # canonicalize: add 2q, normalize, subtract q up to 3 times
+        # normalize: add 2q so both limbs are nonnegative
         alo = alo + jnp.int32((2 * self.field.q) & ((1 << 25) - 1))
         ahi = ahi + jnp.int32((2 * self.field.q) >> 25)
         cr = alo >> 25
         alo = alo - (cr << 25)
         ahi = ahi + cr
+        if not canonical:
+            return alo, ahi
         q_lo = jnp.int32(self._q_lo)
         q_hi = jnp.int32(self._q_hi)
         for _ in range(3):
@@ -881,11 +887,15 @@ class FusedBlindRotateL2:
             u_lo = u_lo + carry
         return digs
 
-    def _level_dot_dual(self, x_planes, w_planes, out_rows, pair=True):
+    def _level_dot_dual(
+        self, x_planes, w_planes, out_rows, pair=True, canonical=True
+    ):
         """NTT level: x_planes (list of int8 (rows, X)), dual-limb output.
 
         ``pair`` must be False when groups can exceed 2**23 (the
-        2048-deep single-dot forward)."""
+        2048-deep single-dot forward). ``canonical=False`` skips the final
+        subtract-q rounds — only valid when the output feeds
+        ``_digit_planes8`` (the next NTT level)."""
         L = self.levels
         in_levels = len(x_planes)
         groups = [None] * (in_levels + L - 1)
@@ -901,7 +911,7 @@ class FusedBlindRotateL2:
                 blk = p[b * out_rows : (b + 1) * out_rows]
                 groups[s] = blk if groups[s] is None else groups[s] + blk
         if not pair:
-            return self._horner_dual(groups, 7)
+            return self._horner_dual(groups, 7, canonical)
         # pairwise pre-merge (groups < 2**22, pairs < 2**29): halves the
         # dual-limb fold chain by running it at radix 2**14
         paired = [
@@ -910,7 +920,7 @@ class FusedBlindRotateL2:
             else groups[s]
             for s in range(0, len(groups), 2)
         ]
-        return self._horner_dual(paired, 14)
+        return self._horner_dual(paired, 14, canonical)
 
     def _onehot_dual(self, oh, tab_lo, tab_hi):
         """Select (N,) rows: tab limbs (n_e, Bt) -> limbs (N, Bt), exact."""
@@ -1025,8 +1035,9 @@ class FusedBlindRotateL2:
                 def fwd_chunk(ci, _):
                     s0 = ci.astype(jnp.int32) * jnp.int32(ch_w)
                     x = dig_s[:, pl.ds(s0, ch_w)].reshape(r, c * ch_w)
+                    # lazy level-0 output: feeds _digit_planes8 only
                     lo0, hi0 = self._level_dot_dual(
-                        [x.astype(jnp.int8)], w0f_ref[:], r
+                        [x.astype(jnp.int8)], w0f_ref[:], r, canonical=False
                     )
                     slo_s[:] = lo0
                     shi_s[:] = hi0
@@ -1156,8 +1167,10 @@ class FusedBlindRotateL2:
                     w1k = w1i_ref[pl.ds(k0, 1), :, :].reshape(
                         self.levels * c, c
                     )
+                    # lazy level-1 output: feeds _digit_planes8 only
                     lo_o, hi_o = self._level_dot_dual(
-                        self._digit_planes8(pvl, pvh), w1k, c
+                        self._digit_planes8(pvl, pvh), w1k, c,
+                        canonical=False,
                     )
                     slo_s[pl.ds(k0, 1), :] = lo_o.reshape(1, c * 2 * bt)
                     shi_s[pl.ds(k0, 1), :] = hi_o.reshape(1, c * 2 * bt)
