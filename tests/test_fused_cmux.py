@@ -177,3 +177,38 @@ def test_fused_l2_bit_identical(small_l2_pack, rng):
         int(np.abs(out.astype(np.int64) - out_ref.astype(np.int64)).max()),
         int((out != out_ref).sum()),
     )
+
+
+def test_fused_trace_bit_identical(rng):
+    """Fused trace kernel (interpret) vs the XLA make_trace path."""
+    from tfhe_omr_tpu.ops.bootstrap import make_fused_trace, make_trace
+    from tfhe_omr_tpu.ops.pallas_fused import (
+        make_auto_onehot,
+        make_trace_balanced,
+    )
+    from tfhe_omr_tpu.utils.devices import host_math as hm
+
+    params = OmrParameters.default()
+    skp = SecretKeyPack(params, rng=9)
+    ctx = skp.ctx
+    f, ntt, g = ctx.f2, ctx.ntt2, ctx.gadget_trace
+    with hm():
+        trace_k, trace_k_sh = skp._gen_trace_key(np.random.default_rng(13))
+    B = 8
+    acc = jnp.asarray(
+        rng.integers(0, f.q, size=(params.n2, 2, B), dtype=np.int64)
+    )
+
+    tr_ref = make_trace(f, ntt, g, ctx.trace_autos)
+    with host_math():
+        out_ref = np.asarray(tr_ref(acc, trace_k, trace_k_sh))
+
+    tr_fused = make_fused_trace(f, ntt, g, interpret=True)
+    oh = jnp.asarray(make_auto_onehot(ctx.trace_autos, params.n2))
+    tk_bal = jnp.asarray(make_trace_balanced(np.asarray(trace_k), f.q))
+    out = np.asarray(tr_fused(acc, oh, tk_bal))
+
+    assert np.array_equal(out, out_ref), (
+        int(np.abs(out.astype(np.int64) - out_ref.astype(np.int64)).max()),
+        int((out != out_ref).sum()),
+    )

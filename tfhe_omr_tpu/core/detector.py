@@ -37,6 +37,7 @@ from tfhe_omr_tpu.ops.bootstrap import (
     make_blind_rotate,
     make_fused_blind_rotate,
     make_fused_blind_rotate2,
+    make_fused_trace,
     make_lwe_keyswitch,
     make_trace,
 )
@@ -128,6 +129,9 @@ class Detector:
         br2 = make_blind_rotate(f2, ntt2, ctx.gadget_br2, paired=True)
         ks = make_lwe_keyswitch(f1, p.first_level_ks.digits, p.first_level_ks.out_dimension)
         trace = make_trace(f2, ntt2, ctx.gadget_trace, ctx.trace_autos)
+        can_fused_tr = can_fused2 and self.key.trace_bal is not None
+        if can_fused_tr:
+            trace_fused = make_fused_trace(f2, ntt2, ctx.gadget_trace)
 
         lut1_ext = jnp.asarray(ctx.lut1_ext, dtype=f1.storage_dtype)
         lut2_ext = jnp.asarray(ctx.lut2_ext, dtype=f2.storage_dtype)
@@ -181,11 +185,14 @@ class Detector:
                 return br2_fused(acc2, ms_a.T, bsk2_bal)
             return br2(acc2, ms_a.T, bsk2, bsk2_sh)
 
-        def stage3(acc2, trace_k, trace_k_sh):
+        def stage3(acc2, trace_k, trace_k_sh, trace_oh, trace_bal):
             """x N^-1, homomorphic trace, to NTT domain
             (``detector.rs:626-639``)."""
             acc2 = f2.mul_shoup(acc2, n2_inv_j, n2_inv_sh)
-            acc2 = trace(acc2, trace_k, trace_k_sh)
+            if can_fused_tr and (forced or acc2.shape[2] % 128 == 0):
+                acc2 = trace_fused(acc2, trace_oh, trace_bal)
+            else:
+                acc2 = trace(acc2, trace_k, trace_k_sh)
             out = ntt2.fwd(acc2)  # to NTT domain (``to_ntt_rlwe``)
             return out.transpose(2, 1, 0)  # (B, 2, N2)
 
@@ -199,7 +206,10 @@ class Detector:
                 key.bsk1_bal,
             )
             acc2 = stage2(ms_a, ms_b, key.bsk2, key.bsk2_sh, key.bsk2_bal)
-            return stage3(acc2, key.trace_k, key.trace_k_sh)
+            return stage3(
+                acc2, key.trace_k, key.trace_k_sh, key.trace_oh,
+                key.trace_bal,
+            )
 
         self._detect_fn = detect
 
@@ -290,7 +300,9 @@ class Detector:
             key.bsk1, key.bsk1_sh, key.ksk_limbs, key.bsk1_bal,
         )
         acc2 = self._stage2_jit(ms_a, ms_b, key.bsk2, key.bsk2_sh, key.bsk2_bal)
-        return self._stage3_jit(acc2, key.trace_k, key.trace_k_sh)
+        return self._stage3_jit(
+            acc2, key.trace_k, key.trace_k_sh, key.trace_oh, key.trace_bal
+        )
 
     def detect_with_time_info(self, clues: ClueBatch):
         """Per-stage timed detect (counterpart of ``detect_with_time_info``,
@@ -308,7 +320,9 @@ class Detector:
         acc2 = self._stage2_jit(ms_a, ms_b, key.bsk2, key.bsk2_sh, key.bsk2_bal)
         jax.block_until_ready(acc2)
         t2 = time.perf_counter()
-        out = self._stage3_jit(acc2, key.trace_k, key.trace_k_sh)
+        out = self._stage3_jit(
+            acc2, key.trace_k, key.trace_k_sh, key.trace_oh, key.trace_bal
+        )
         jax.block_until_ready(out)
         t3 = time.perf_counter()
         return out, DetectStageTimes(

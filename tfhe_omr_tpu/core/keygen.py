@@ -40,6 +40,8 @@ class DetectionKey(NamedTuple):
     trace_k_sh: jnp.ndarray
     bsk1_bal: jnp.ndarray | None = None  # (n0/2, N1, 128) int16 balanced
     bsk2_bal: jnp.ndarray | None = None  # (n_int/2, 2*d2, N2, 32) int16
+    trace_bal: jnp.ndarray | None = None  # (rounds, d_tr+pad, N2, 16) int16
+    trace_oh: jnp.ndarray | None = None  # (rounds, N2, N2) int8 one-hot
 
 
 class ClueKey(NamedTuple):
@@ -186,12 +188,22 @@ class SecretKeyPack:
                     make_bsk_balanced_paired(np.asarray(bsk1), c.f1.q)
                 )
             bsk2_bal = None
+            trace_bal = None
+            trace_oh = None
             if c.f2.bits == 50:
-                from tfhe_omr_tpu.ops.pallas_fused import make_bsk2_balanced
+                from tfhe_omr_tpu.ops.pallas_fused import (
+                    make_auto_onehot,
+                    make_bsk2_balanced,
+                    make_trace_balanced,
+                )
 
                 bsk2_bal = jnp.asarray(
                     make_bsk2_balanced(np.asarray(bsk2), c.f2.q)
                 )
+                trace_bal = jnp.asarray(
+                    make_trace_balanced(np.asarray(trace_k), c.f2.q)
+                )
+                trace_oh = jnp.asarray(make_auto_onehot(c.trace_autos, p.n2))
         return to_accelerator(DetectionKey(
             bsk1=bsk1,
             bsk1_sh=bsk1_sh,
@@ -202,6 +214,8 @@ class SecretKeyPack:
             trace_k_sh=trace_k_sh,
             bsk1_bal=bsk1_bal,
             bsk2_bal=bsk2_bal,
+            trace_bal=trace_bal,
+            trace_oh=trace_oh,
         ))
 
     def _gen_bsk(self, lwe_sk, z_f, z_ntt, field, ntt, gadget, noise_std, rng):

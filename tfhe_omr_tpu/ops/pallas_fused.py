@@ -1286,3 +1286,383 @@ class FusedBlindRotateL2:
 
     def __call__(self, acc_limbs, p1l, p2l, bsk_bal):
         return self._call(acc_limbs, p1l, p2l, bsk_bal)
+
+
+# ---------------------------------------------------------------------------
+# Fused homomorphic trace (second-level field): 11 sequential rounds of
+# automorphism + gadget key switch in ONE kernel (counterpart of
+# ``TraceKey::trace``, reference ``omr_core/src/detector.rs:626-639``).
+# ---------------------------------------------------------------------------
+
+
+def make_trace_balanced(tk_int: np.ndarray, q: int) -> np.ndarray:
+    """Host prep: (rounds, N, d, 2) int64 NTT-domain trace key in [0, q),
+    q < 2**50 -> (rounds, d_pad, N, 16) int16 balanced 13-bit planes.
+
+    Minor-dim column layout a*2 + o (4 planes x 2 output components),
+    zero-padded to 16; the digit axis is padded to even so the kernel's
+    forward-NTT chunking (2 columns per pass) divides it.
+    """
+    rounds, n, d, o2 = tk_int.shape
+    kb = tk_int.astype(np.int64)
+    kb = kb - q * (kb > q // 2)
+    planes = []
+    r = kb
+    for _ in range(3):
+        v = ((r + (1 << 12)) & 8191) - (1 << 12)
+        planes.append(v)
+        r = (r - v) >> 13
+    planes.append(r)
+    p = np.stack(planes, axis=0)  # (4, rounds, N, d, 2)
+    p = p.transpose(1, 3, 2, 0, 4).reshape(rounds, d, n, 8)
+    d_pad = d + (d % 2)
+    out = np.zeros((rounds, d_pad, n, 16), dtype=np.int16)
+    out[:, :d, :, :8] = p
+    return out
+
+
+def make_auto_onehot(autos, n: int) -> np.ndarray:
+    """Host prep: per-round signed one-hot automorphism matrices
+    P[r, i, gidx[i]] = gsign[i], so sigma_g(acc) = P @ acc — the automorphism
+    becomes an int8 MXU dot instead of an element-serial gather."""
+    rounds = len(autos)
+    out = np.zeros((rounds, n, n), dtype=np.int8)
+    for r_i, (_g, gidx, gsign) in enumerate(autos):
+        out[r_i, np.arange(n), np.asarray(gidx)] = np.asarray(
+            gsign, dtype=np.int8
+        )
+    return out
+
+
+class FusedTrace(FusedBlindRotateL2):
+    """EvalTr as one Pallas kernel: grid = (batch_tiles, rounds); the
+    accumulator lives in VMEM scratch across the sequential round axis.
+
+    Per round (bit-exact counterpart of ``make_trace``'s XLA ops):
+      1. automorphism of both components as signed one-hot int8 MXU dots
+         over 7-bit limb planes;
+      2. exact base-4 digits of the automorphed a-part (the trace gadget
+         is exact: d*log_b == qbits, digits in [0, 4));
+      3. two-level forward NTT of the 25 (padded 26) digit polys;
+      4. per-component MAC against the balanced trace-key planes;
+      5. inverse NTT; acc_a -= pc_a, acc_b += auto_b - pc_b (mod q).
+    """
+
+    def __init__(
+        self,
+        field: PrimeField,
+        ntt,
+        d: int,
+        tile: int = 128,
+        interpret: bool = False,
+    ):
+        assert field.bits == 50
+        self.field = field
+        self.ntt = ntt
+        self.d = d
+        self.log_b = 2
+        self.tile = tile
+        self.interpret = interpret
+        self.skip = frozenset()
+        self.single_dot = False
+        self.n = ntt.n
+        self.r = ntt.r
+        self.c = ntt.c
+        self.levels = ntt.levels
+        q = field.q
+        self._q_lo = q & ((1 << 25) - 1)
+        self._q_hi = q >> 25
+        qh = q // 2
+        self._qh_lo = qh & ((1 << 25) - 1)
+        self._qh_hi = qh >> 25
+        self._call = self._make_trace_call()
+
+    def _sub_canonical(self, alo, ahi, blo, bhi):
+        """Exact (a - b) mod q on canonical 25-bit limb pairs."""
+        lo = alo - blo
+        bor = (lo < 0).astype(jnp.int32)
+        lo = lo + (bor << 25)
+        hi = ahi - bhi - bor
+        neg = (hi < 0).astype(jnp.int32)
+        lo2 = lo + neg * jnp.int32(self._q_lo)
+        cr = lo2 >> 25
+        return lo2 - (cr << 25), hi + neg * jnp.int32(self._q_hi) + cr
+
+    def _make_trace_call(self):
+        n, r, c, d = self.n, self.r, self.c, self.d
+        pn = self.ntt
+        w0f, w1f = pn._w0_f, pn._w1_f
+        w0i, w1i = pn._w0_i, pn._w1_i
+        jc = d + (d % 2)  # padded digit columns
+        assert 2 * d >= 50, "trace gadget must be exact (d*log_b >= bits)"
+
+        def kernel(
+            w0f_ref, w1f_ref, w0i_ref, w1i_ref,
+            acc_ref, oh_ref, tk_ref,
+            o_ref,
+            acc_s, dig_s, dnhi_s, slo_s, shi_s, plo_s, phi_s, ab_s,
+        ):
+            step = pl.program_id(1)
+            n_steps = pl.num_programs(1)
+            bt = acc_ref.shape[3]
+            ch_w = 2 * bt
+
+            @pl.when(step == 0)
+            def _():
+                acc_s[:] = acc_ref[:]
+
+            pmat = oh_ref[0]  # (N, N) int8 signed one-hot
+            # ---- 1. automorphism of both components via plane dots
+            auto = []
+            for o in range(2):
+                lo = acc_s[0, o]
+                hi = acc_s[1, o]
+                planes = [
+                    ((lo >> jnp.int32(7 * a)) & jnp.int32(127)).astype(
+                        jnp.int8
+                    )
+                    for a in range(4)
+                ] + [
+                    ((hi >> jnp.int32(7 * a)) & jnp.int32(127)).astype(
+                        jnp.int8
+                    )
+                    for a in range(4)
+                ]
+                x = jnp.concatenate(planes, axis=1)  # (N, 8*bt)
+                sel = jax.lax.dot_general(
+                    pmat, x, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.int32,
+                )  # +-plane values of the source row
+                lo2 = sel[:, 0:bt]
+                for a in range(1, 4):
+                    lo2 = lo2 + (sel[:, a * bt : (a + 1) * bt] << (7 * a))
+                hi2 = sel[:, 4 * bt : 5 * bt]
+                for a in range(1, 4):
+                    hi2 = hi2 + (
+                        sel[:, (4 + a) * bt : (5 + a) * bt] << (7 * a)
+                    )
+                # negative rows (gsign = -1) -> add q, fix borrow
+                neg = (hi2 < 0) | ((hi2 == 0) & (lo2 < 0))
+                ni = neg.astype(jnp.int32)
+                lo3 = lo2 + ni * jnp.int32(self._q_lo)
+                cr = lo3 >> 25
+                lo3 = lo3 - (cr << 25)
+                hi3 = hi2 + ni * jnp.int32(self._q_hi) + cr
+                auto.append((lo3, hi3))
+            a_lo, a_hi = auto[0]
+            ab_s[0] = auto[1][0]
+            ab_s[1] = auto[1][1]
+
+            # ---- 2. exact base-4 digits of the a-part -> dig_s (int32)
+            for j in range(d):
+                bitpos = 2 * j
+                if bitpos + 2 <= 25:
+                    dj = (a_lo >> bitpos) & jnp.int32(3)
+                elif bitpos < 25:  # straddles the limb boundary
+                    dj = ((a_lo >> 24) & jnp.int32(1)) | (
+                        (a_hi & jnp.int32(1)) << 1
+                    )
+                else:
+                    dj = (a_hi >> (bitpos - 25)) & jnp.int32(3)
+                dig_s[:, j * bt : (j + 1) * bt] = dj
+            for j in range(d, jc):
+                dig_s[:, j * bt : (j + 1) * bt] = jnp.zeros(
+                    (n, bt), jnp.int32
+                )
+
+            # ---- 3. forward NTT (single int8 plane -> dual limbs), chunked
+            def fwd_chunk(ci, _):
+                s0 = ci.astype(jnp.int32) * jnp.int32(ch_w)
+                x = dig_s[:, pl.ds(s0, ch_w)].reshape(r, c * ch_w)
+                lo0, hi0 = self._level_dot_dual(
+                    [x.astype(jnp.int8)], w0f_ref[:], r, canonical=False
+                )
+                slo_s[:] = lo0
+                shi_s[:] = hi0
+
+                def fwd_k0(k0, _):
+                    k0 = k0.astype(jnp.int32)
+                    sv_lo = slo_s[pl.ds(k0, 1), :].reshape(c, ch_w)
+                    sv_hi = shi_s[pl.ds(k0, 1), :].reshape(c, ch_w)
+                    w1k = w1f_ref[pl.ds(k0, 1), :, :].reshape(
+                        self.levels * c, c
+                    )
+                    lo_o, hi_o = self._level_dot_dual(
+                        self._digit_planes8(sv_lo, sv_hi), w1k, c
+                    )
+                    rr = pl.ds(k0 * jnp.int32(c), c)
+                    dig_s[rr, pl.ds(s0, ch_w)] = lo_o
+                    dnhi_s[rr, pl.ds(s0, ch_w)] = hi_o
+                    return jnp.int32(0)
+
+                jax.lax.fori_loop(
+                    jnp.int32(0), jnp.int32(r), fwd_k0, jnp.int32(0)
+                )
+                return jnp.int32(0)
+
+            jax.lax.fori_loop(
+                jnp.int32(0), jnp.int32(jc // 2), fwd_chunk, jnp.int32(0)
+            )
+
+            # ---- 4. MAC: pack balanced dn planes once, two (o) passes
+            m16 = jnp.int32(0xFFFF)
+
+            def pack_jj(jj, _):
+                jj = jj.astype(jnp.int32)
+                cs = pl.ds(jj * jnp.int32(bt), bt)
+                vp = self._bal13(dig_s[:, cs], dnhi_s[:, cs])
+                dig_s[:, cs] = (vp[0] & m16) | (vp[1] << 16)
+                dnhi_s[:, cs] = (vp[2] & m16) | (vp[3] << 16)
+                return jnp.int32(0)
+
+            jax.lax.fori_loop(
+                jnp.int32(0), jnp.int32(jc), pack_jj, jnp.int32(0)
+            )
+            zero = jnp.zeros((n, bt), jnp.int32)
+            for o in range(2):
+
+                def mac_jj(jj, groups, _o=o):
+                    jj = jj.astype(jnp.int32)
+                    cs = pl.ds(jj * jnp.int32(bt), bt)
+                    w01 = dig_s[:, cs]
+                    w23 = dnhi_s[:, cs]
+                    vp = [
+                        (w01 << 16) >> 16,
+                        w01 >> 16,
+                        (w23 << 16) >> 16,
+                        w23 >> 16,
+                    ]
+                    kj = tk_ref[0, pl.ds(jj, 1), :, :].reshape(n, 16)
+                    new = list(groups)
+                    for a in range(4):
+                        col = a * 2 + _o
+                        kcol = kj[:, col : col + 1].astype(jnp.int32)
+                        for b in range(4):
+                            s_ = a + b
+                            new[s_] = new[s_] + vp[b] * kcol
+                    return tuple(new)
+
+                groups = jax.lax.fori_loop(
+                    jnp.int32(0), jnp.int32(jc), mac_jj, (zero,) * 7
+                )
+                plo, phi = self._horner_dual(list(groups), 13)
+                sl = slice(o * bt, (o + 1) * bt)
+                plo_s[:, sl] = plo
+                phi_s[:, sl] = phi
+
+            # ---- 5. inverse NTT + update
+            def intt_k0(k0, _):
+                k0 = k0.astype(jnp.int32)
+                rr = pl.ds(k0 * jnp.int32(c), c)
+                w1k = w1i_ref[pl.ds(k0, 1), :, :].reshape(
+                    self.levels * c, c
+                )
+                lo_o, hi_o = self._level_dot_dual(
+                    self._digit_planes8(plo_s[rr, :], phi_s[rr, :]), w1k, c,
+                    canonical=False,
+                )
+                slo_s[pl.ds(k0, 1), :] = lo_o.reshape(1, c * 2 * bt)
+                shi_s[pl.ds(k0, 1), :] = hi_o.reshape(1, c * 2 * bt)
+                return jnp.int32(0)
+
+            jax.lax.fori_loop(jnp.int32(0), jnp.int32(r), intt_k0, jnp.int32(0))
+            zlo_parts, zhi_parts = [], []
+            for s0 in range(0, c * 2 * bt, 8192):
+                e0 = min(c * 2 * bt, s0 + 8192)
+                lo_o, hi_o = self._level_dot_dual(
+                    self._digit_planes8(slo_s[:, s0:e0], shi_s[:, s0:e0]),
+                    w0i_ref[:],
+                    r,
+                )
+                zlo_parts.append(lo_o)
+                zhi_parts.append(hi_o)
+            zlo = jnp.concatenate(zlo_parts, axis=1).reshape(n, 2, bt)
+            zhi = jnp.concatenate(zhi_parts, axis=1).reshape(n, 2, bt)
+            # acc_a -= pc_a; acc_b += auto_b - pc_b  (exact mod q)
+            na_lo, na_hi = self._sub_canonical(
+                acc_s[0, 0], acc_s[1, 0], zlo[:, 0], zhi[:, 0]
+            )
+            tb_lo, tb_hi = self._add_canonical(
+                acc_s[0, 1], acc_s[1, 1], ab_s[0], ab_s[1]
+            )
+            nb_lo, nb_hi = self._sub_canonical(
+                tb_lo, tb_hi, zlo[:, 1], zhi[:, 1]
+            )
+            acc_s[0, 0] = na_lo
+            acc_s[1, 0] = na_hi
+            acc_s[0, 1] = nb_lo
+            acc_s[1, 1] = nb_hi
+
+            @pl.when(step == n_steps - 1)
+            def _():
+                o_ref[0, 0] = na_lo
+                o_ref[1, 0] = na_hi
+                o_ref[0, 1] = nb_lo
+                o_ref[1, 1] = nb_hi
+
+        def call(acc_limbs, oh, tk_bal):
+            """acc_limbs (2, 2, N, B) int32 [limb, o, n, b]; oh
+            (rounds, N, N) int8; tk_bal (rounds, jc, N, 16) int16
+            -> (2, 2, N, B) int32."""
+            _, _, n_, b = acc_limbs.shape
+            rounds = oh.shape[0]
+            tile = min(self.tile, b)
+            assert b % tile == 0, (b, tile)
+            i32 = jnp.int32
+            grid = (b // tile, rounds)
+            const_spec = lambda arr: pl.BlockSpec(
+                arr.shape,
+                lambda i, s, _nd=arr.ndim: (i32(0),) * _nd,
+                memory_space=pltpu.VMEM,
+            )
+            out = pl.pallas_call(
+                kernel,
+                out_shape=jax.ShapeDtypeStruct((2, 2, n_, b), jnp.int32),
+                grid=grid,
+                in_specs=[
+                    const_spec(w0f),
+                    const_spec(w1f),
+                    const_spec(w0i),
+                    const_spec(w1i),
+                    pl.BlockSpec(
+                        (2, 2, n_, tile),
+                        lambda i, s: (i32(0), i32(0), i32(0), i.astype(i32)),
+                        memory_space=pltpu.VMEM,
+                    ),
+                    pl.BlockSpec(
+                        (1, n_, n_),
+                        lambda i, s: (s.astype(i32), i32(0), i32(0)),
+                        memory_space=pltpu.VMEM,
+                    ),
+                    pl.BlockSpec(
+                        (1, jc, n_, 16),
+                        lambda i, s: (s.astype(i32), i32(0), i32(0), i32(0)),
+                        memory_space=pltpu.VMEM,
+                    ),
+                ],
+                out_specs=pl.BlockSpec(
+                    (2, 2, n_, tile),
+                    lambda i, s: (i32(0), i32(0), i32(0), i.astype(i32)),
+                    memory_space=pltpu.VMEM,
+                ),
+                scratch_shapes=[
+                    pltpu.VMEM((2, 2, n_, tile), jnp.int32),    # acc_s
+                    pltpu.VMEM((n_, jc * tile), jnp.int32),     # dig_s / dn lo
+                    pltpu.VMEM((n_, jc * tile), jnp.int32),     # dnhi_s
+                    pltpu.VMEM((r, c * 2 * tile), jnp.int32),   # slo_s
+                    pltpu.VMEM((r, c * 2 * tile), jnp.int32),   # shi_s
+                    pltpu.VMEM((n_, 2 * tile), jnp.int32),      # plo_s
+                    pltpu.VMEM((n_, 2 * tile), jnp.int32),      # phi_s
+                    pltpu.VMEM((2, n_, tile), jnp.int32),       # ab_s
+                ],
+                compiler_params=pltpu.CompilerParams(
+                    vmem_limit_bytes=120 * 1024 * 1024,
+                ),
+                interpret=self.interpret,
+            )(w0f, w1f, w0i, w1i, acc_limbs, oh, tk_bal)
+            return out
+
+        return call
+
+    def __call__(self, acc_limbs, oh, tk_bal):
+        return self._call(acc_limbs, oh, tk_bal)
