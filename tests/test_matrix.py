@@ -16,8 +16,17 @@ def random_system(rng, rows, cols, plen, p):
 
 @pytest.mark.parametrize("p", [257, 256, 251])
 def test_solve_numpy(p, rng):
-    m, rhs, x = random_system(rng, 55, 50, 612, p)
-    got = solve_matrix_numpy(m.copy(), rhs.copy(), p)
+    # a random draw can be singular mod a non-prime p — the protocol
+    # handles that via redundant combinations (reference
+    # ``retrieval_params.rs:85-89``), so the test retries the same way
+    for attempt in range(4):
+        m, rhs, x = random_system(rng, 55, 50, 612, p)
+        try:
+            got = solve_matrix_numpy(m.copy(), rhs.copy(), p)
+            break
+        except InvertibleMatrixError:
+            if attempt == 3:
+                raise
     np.testing.assert_array_equal(got, x)
 
 

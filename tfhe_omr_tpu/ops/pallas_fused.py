@@ -1400,7 +1400,8 @@ class FusedTrace(FusedBlindRotateL2):
             w0f_ref, w1f_ref, w0i_ref, w1i_ref,
             acc_ref, oh_ref, tk_ref,
             o_ref,
-            acc_s, dig_s, dnhi_s, slo_s, shi_s, plo_s, phi_s, ab_s,
+            acc_s, dig8_s, dnlo_s, dnhi_s, slo_s, shi_s, plo_s, phi_s,
+            ab_s, g_s,
         ):
             step = pl.program_id(1)
             n_steps = pl.num_programs(1)
@@ -1453,7 +1454,7 @@ class FusedTrace(FusedBlindRotateL2):
             ab_s[0] = auto[1][0]
             ab_s[1] = auto[1][1]
 
-            # ---- 2. exact base-4 digits of the a-part -> dig_s (int32)
+            # ---- 2. exact base-4 digits of the a-part -> dig8_s (int8)
             for j in range(d):
                 bitpos = 2 * j
                 if bitpos + 2 <= 25:
@@ -1464,18 +1465,26 @@ class FusedTrace(FusedBlindRotateL2):
                     )
                 else:
                     dj = (a_hi >> (bitpos - 25)) & jnp.int32(3)
-                dig_s[:, j * bt : (j + 1) * bt] = dj
+                dig8_s[:, j * bt : (j + 1) * bt] = dj.astype(jnp.int8)
             for j in range(d, jc):
-                dig_s[:, j * bt : (j + 1) * bt] = jnp.zeros(
-                    (n, bt), jnp.int32
+                dig8_s[:, j * bt : (j + 1) * bt] = jnp.zeros(
+                    (n, bt), jnp.int8
                 )
 
-            # ---- 3. forward NTT (single int8 plane -> dual limbs), chunked
-            def fwd_chunk(ci, _):
-                s0 = ci.astype(jnp.int32) * jnp.int32(ch_w)
-                x = dig_s[:, pl.ds(s0, ch_w)].reshape(r, c * ch_w)
+            # ---- 3+4. forward NTT + MAC fused per 2-digit-column chunk:
+            # the dual-limb dn exists only chunk-wide (VMEM: the full-width
+            # dn buffers put the kernel 7MB over v5e's 128MB capacity); MAC
+            # groups accumulate in g_s scratch across chunks
+            for o in range(2):
+                for s_ in range(7):
+                    g_s[o, s_] = jnp.zeros((n, bt), jnp.int32)
+
+            def chunk_body(ci, _):
+                ci = ci.astype(jnp.int32)
+                s0 = ci * jnp.int32(ch_w)
+                x = dig8_s[:, pl.ds(s0, ch_w)].reshape(r, c * ch_w)
                 lo0, hi0 = self._level_dot_dual(
-                    [x.astype(jnp.int8)], w0f_ref[:], r, canonical=False
+                    [x], w0f_ref[:], r, canonical=False
                 )
                 slo_s[:] = lo0
                 shi_s[:] = hi0
@@ -1491,61 +1500,34 @@ class FusedTrace(FusedBlindRotateL2):
                         self._digit_planes8(sv_lo, sv_hi), w1k, c
                     )
                     rr = pl.ds(k0 * jnp.int32(c), c)
-                    dig_s[rr, pl.ds(s0, ch_w)] = lo_o
-                    dnhi_s[rr, pl.ds(s0, ch_w)] = hi_o
+                    dnlo_s[rr, :] = lo_o
+                    dnhi_s[rr, :] = hi_o
                     return jnp.int32(0)
 
                 jax.lax.fori_loop(
                     jnp.int32(0), jnp.int32(r), fwd_k0, jnp.int32(0)
                 )
-                return jnp.int32(0)
-
-            jax.lax.fori_loop(
-                jnp.int32(0), jnp.int32(jc // 2), fwd_chunk, jnp.int32(0)
-            )
-
-            # ---- 4. MAC: pack balanced dn planes once, two (o) passes
-            m16 = jnp.int32(0xFFFF)
-
-            def pack_jj(jj, _):
-                jj = jj.astype(jnp.int32)
-                cs = pl.ds(jj * jnp.int32(bt), bt)
-                vp = self._bal13(dig_s[:, cs], dnhi_s[:, cs])
-                dig_s[:, cs] = (vp[0] & m16) | (vp[1] << 16)
-                dnhi_s[:, cs] = (vp[2] & m16) | (vp[3] << 16)
-                return jnp.int32(0)
-
-            jax.lax.fori_loop(
-                jnp.int32(0), jnp.int32(jc), pack_jj, jnp.int32(0)
-            )
-            zero = jnp.zeros((n, bt), jnp.int32)
-            for o in range(2):
-
-                def mac_jj(jj, groups, _o=o):
-                    jj = jj.astype(jnp.int32)
-                    cs = pl.ds(jj * jnp.int32(bt), bt)
-                    w01 = dig_s[:, cs]
-                    w23 = dnhi_s[:, cs]
-                    vp = [
-                        (w01 << 16) >> 16,
-                        w01 >> 16,
-                        (w23 << 16) >> 16,
-                        w23 >> 16,
-                    ]
+                for jl in range(2):
+                    sl_ = slice(jl * bt, (jl + 1) * bt)
+                    vp = self._bal13(dnlo_s[:, sl_], dnhi_s[:, sl_])
+                    jj = ci * 2 + jl
                     kj = tk_ref[0, pl.ds(jj, 1), :, :].reshape(n, 16)
-                    new = list(groups)
-                    for a in range(4):
-                        col = a * 2 + _o
-                        kcol = kj[:, col : col + 1].astype(jnp.int32)
-                        for b in range(4):
-                            s_ = a + b
-                            new[s_] = new[s_] + vp[b] * kcol
-                    return tuple(new)
+                    for o in range(2):
+                        for a in range(4):
+                            col = a * 2 + o
+                            kcol = kj[:, col : col + 1].astype(jnp.int32)
+                            for b in range(4):
+                                s_ = a + b
+                                g_s[o, s_] = g_s[o, s_] + vp[b] * kcol
+                return jnp.int32(0)
 
-                groups = jax.lax.fori_loop(
-                    jnp.int32(0), jnp.int32(jc), mac_jj, (zero,) * 7
+            jax.lax.fori_loop(
+                jnp.int32(0), jnp.int32(jc // 2), chunk_body, jnp.int32(0)
+            )
+            for o in range(2):
+                plo, phi = self._horner_dual(
+                    [g_s[o, s_] for s_ in range(7)], 13
                 )
-                plo, phi = self._horner_dual(list(groups), 13)
                 sl = slice(o * bt, (o + 1) * bt)
                 plo_s[:, sl] = plo
                 phi_s[:, sl] = phi
@@ -1647,16 +1629,18 @@ class FusedTrace(FusedBlindRotateL2):
                 ),
                 scratch_shapes=[
                     pltpu.VMEM((2, 2, n_, tile), jnp.int32),    # acc_s
-                    pltpu.VMEM((n_, jc * tile), jnp.int32),     # dig_s / dn lo
-                    pltpu.VMEM((n_, jc * tile), jnp.int32),     # dnhi_s
+                    pltpu.VMEM((n_, jc * tile), jnp.int8),      # dig8_s
+                    pltpu.VMEM((n_, 2 * tile), jnp.int32),      # dnlo_s
+                    pltpu.VMEM((n_, 2 * tile), jnp.int32),      # dnhi_s
                     pltpu.VMEM((r, c * 2 * tile), jnp.int32),   # slo_s
                     pltpu.VMEM((r, c * 2 * tile), jnp.int32),   # shi_s
                     pltpu.VMEM((n_, 2 * tile), jnp.int32),      # plo_s
                     pltpu.VMEM((n_, 2 * tile), jnp.int32),      # phi_s
                     pltpu.VMEM((2, n_, tile), jnp.int32),       # ab_s
+                    pltpu.VMEM((2, 7, n_, tile), jnp.int32),    # g_s
                 ],
                 compiler_params=pltpu.CompilerParams(
-                    vmem_limit_bytes=120 * 1024 * 1024,
+                    vmem_limit_bytes=127 * 1024 * 1024,
                 ),
                 interpret=self.interpret,
             )(w0f, w1f, w0i, w1i, acc_limbs, oh, tk_bal)
