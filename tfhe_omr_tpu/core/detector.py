@@ -135,10 +135,23 @@ class Detector:
 
         lut1_ext = jnp.asarray(ctx.lut1_ext, dtype=f1.storage_dtype)
         lut2_ext = jnp.asarray(ctx.lut2_ext, dtype=f2.storage_dtype)
+        # gather-free LUT rotations (one-hot MXU dots; XLA TPU gathers are
+        # element-serial and cost ~0.3 ms/msg each at these shapes)
+        from tfhe_omr_tpu.ops.bootstrap import make_init_accumulator
+
+        init_acc1 = make_init_accumulator(f1, ctx.lut1_ext, n1)
+        init_acc2 = make_init_accumulator(f2, ctx.lut2_ext, n2)
         ex_idx, ex_neg = ctx.clue_extract_tables
-        ex_idx = jnp.asarray(ex_idx)
-        ex_neg = jnp.asarray(ex_neg)
         q0 = p.clue_params.cipher_modulus
+        # clue sample extraction as ONE signed one-hot int8 dot
+        n0 = self._n0
+        ext_np = np.zeros((n0, clue_count * n0), dtype=np.int8)
+        for ci in range(clue_count):
+            for j in range(n0):
+                ext_np[ex_idx[ci, j], ci * n0 + j] = (
+                    -1 if ex_neg[ci, j] else 1
+                )
+        ext_mat = jnp.asarray(ext_np)
         n2_inv = ctx.f2.inv(n2)
         n2_inv_j = jnp.int64(n2_inv)
         n2_inv_sh = jnp.int64(int(f2.shoup(n2_inv)))
@@ -154,15 +167,23 @@ class Detector:
             the mod-switch-to-2N1 guard at ``:521`` is a no-op here).
             """
             bsz = clue_a.shape[0]
-            a_ext = jnp.where(
-                ex_neg[None].astype(bool),
-                (q0 - clue_a[:, ex_idx]) & (q0 - 1),
-                clue_a[:, ex_idx],
-            )  # (B, c, n0)
+            # signed one-hot extraction dot; clue values < 2**11 ride two
+            # 7-bit int8 planes (counterpart of the extract_all index map)
+            pl0 = (clue_a & 127).astype(jnp.int8)
+            pl1 = (clue_a >> 7).astype(jnp.int8)
+            dots = [
+                jax.lax.dot_general(
+                    pv, ext_mat, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.int32,
+                )
+                for pv in (pl0, pl1)
+            ]
+            r_ext = dots[0] + (dots[1] << 7)  # (B, c*n0), value or -value
+            a_ext = (r_ext + q0 * (r_ext < 0)).astype(jnp.int64)
             amounts1 = a_ext.reshape(bsz * clue_count, self._n0).T  # (n0, M)
             b1 = clue_b7.reshape(bsz * clue_count)
 
-            acc = init_accumulator(f1, lut1_ext, b1, n1)
+            acc = init_acc1(b1)
             if can_fused and (forced or (bsz * clue_count) % 128 == 0):
                 acc = br1_fused(acc, amounts1, bsk1_bal)
             else:
@@ -180,7 +201,7 @@ class Detector:
         def stage2(ms_a, ms_b, bsk2, bsk2_sh, bsk2_bal):
             """Second-level blind rotation (``detector.rs:599-624``; the
             mod-switch-to-2N2 guard at ``:612`` is a no-op here)."""
-            acc2 = init_accumulator(f2, lut2_ext, ms_b, n2)
+            acc2 = init_acc2(ms_b)
             if can_fused2 and (forced or ms_b.shape[0] % 128 == 0):
                 return br2_fused(acc2, ms_a.T, bsk2_bal)
             return br2(acc2, ms_a.T, bsk2, bsk2_sh)

@@ -349,6 +349,47 @@ def init_accumulator(field: PrimeField, ext_lut: jnp.ndarray, b: jnp.ndarray, n:
     return jnp.stack([jnp.zeros_like(acc_b), acc_b], axis=1)
 
 
+def make_init_accumulator(field: PrimeField, ext_lut_np: np.ndarray, n: int):
+    """Gather-free ``init_accumulator``: XLA TPU gathers are element-serial
+    (~37 ms for a (1024, 896) lookup), so the LUT rotation is instead a
+    one-hot int8 MXU dot against the static shifted-LUT digit planes:
+    acc_b[k, b] = lut_shift[k, t]·[t == b] with lut_shift[k, t] =
+    ext_lut[(k + t) mod 2N].
+    """
+    two_n = 2 * n
+    lut = np.asarray(ext_lut_np, dtype=np.int64)
+    ks = np.arange(n, dtype=np.int64)[:, None]
+    ts = np.arange(two_n, dtype=np.int64)[None, :]
+    shift = lut[(ks + ts) % two_n]  # (N, 2N) static
+    levels = -(-field.bits // 7)
+    planes = jnp.asarray(
+        np.concatenate(
+            [((shift >> (7 * a)) & 127).astype(np.int8) for a in range(levels)],
+            axis=0,
+        )
+    )  # (L*N, 2N)
+    wide = field.bits > 27
+
+    def init(b):
+        oh = (
+            jnp.arange(two_n, dtype=b.dtype)[:, None] == b[None, :]
+        ).astype(jnp.int8)  # (2N, B)
+        sel = jax.lax.dot_general(
+            planes, oh, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )  # (L*N, B)
+        out = sel[0:n].astype(jnp.int64) if wide else sel[0:n]
+        for a in range(1, levels):
+            blk = sel[a * n : (a + 1) * n]
+            out = out + (
+                (blk.astype(jnp.int64) if wide else blk) << (7 * a)
+            )
+        acc_b = out.astype(field.storage_dtype)
+        return jnp.stack([jnp.zeros_like(acc_b), acc_b], axis=1)
+
+    return init
+
+
 def extract_constant_lwe(field: PrimeField, acc):
     """Sample-extract the constant coefficient as an LWE ciphertext.
 
@@ -358,8 +399,10 @@ def extract_constant_lwe(field: PrimeField, acc):
     reference ``detector.rs:560-561``).
     """
     n = acc.shape[0]
-    idx = (-jnp.arange(n)) % n
-    a_perm = acc[:, 0, :][idx]
+    # index map (-j) mod n == [0, n-1, ..., 1]: row 0 then the reversed
+    # tail — lax.rev instead of a (element-serial) gather
+    a = acc[:, 0, :]
+    a_perm = jnp.concatenate([a[0:1], jnp.flip(a[1:], axis=0)], axis=0)
     sign_neg = jnp.arange(n)[:, None] > 0
     a_vec = jnp.where(sign_neg, field.neg(a_perm), a_perm)
     return a_vec, acc[0, 1, :]
