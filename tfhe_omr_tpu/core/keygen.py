@@ -301,8 +301,14 @@ class SecretKeyPack:
         # b[i,j] = <a[i,j], s2> + e + h_j * s_in[i]
         asum = np.mod(a.reshape(-1, n_out) @ s_out, q).reshape(n_in, digits)
         b = np.mod(asum + e + np.mod(h[None, :] * s_in[:, None], q), q)
+        # DIGIT-MAJOR row order (j*n_in + i), matching the key switch's
+        # cheap (B, digits, n_in) bit-expansion layout
         mat = np.concatenate(
-            [a.reshape(n_in * digits, n_out), b.reshape(n_in * digits, 1)], axis=1
+            [
+                a.transpose(1, 0, 2).reshape(digits * n_in, n_out),
+                b.T.reshape(digits * n_in, 1),
+            ],
+            axis=1,
         )
         limbs = -(-f.bits // 7)
         planes = np.stack(
