@@ -16,7 +16,10 @@ import numpy as np
 
 
 def main():
-    batch = int(os.environ.get("OMR_BENCH_BATCH", "128"))
+    # 512 amortizes the tunneled backend's ~30 ms/dispatch across the 3
+    # stage calls (215.6 vs 195.5 msg/s measured at 128); D=65536 in the
+    # production setting makes large batches the natural operating point
+    batch = int(os.environ.get("OMR_BENCH_BATCH", "512"))
     reps = int(os.environ.get("OMR_BENCH_REPS", "3"))
 
     import jax

@@ -612,7 +612,7 @@ class FusedBlindRotateL1:
                     pltpu.VMEM((2, 3, n_, tile), jnp.int32),    # pg_s
                 ],
                 compiler_params=pltpu.CompilerParams(
-                    vmem_limit_bytes=110 * 1024 * 1024,
+                    vmem_limit_bytes=123 * 1024 * 1024,
                 ),
                 interpret=self.interpret,
             )(w0f, w1f, w0i, w1i, oh_lo, oh_hi, acc, p1, p2, bsk_bal)
@@ -1276,7 +1276,7 @@ class FusedBlindRotateL2:
                     pltpu.VMEM((2, 12, n_, tile), jnp.int32),      # pg_s
                 ],
                 compiler_params=pltpu.CompilerParams(
-                    vmem_limit_bytes=110 * 1024 * 1024,
+                    vmem_limit_bytes=123 * 1024 * 1024,
                 ),
                 interpret=self.interpret,
             )(w0f, w1f, w0i, w1i, oh_lo, oh_hi, acc_limbs, p1l, p2l, bsk_bal)
