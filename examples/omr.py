@@ -98,6 +98,8 @@ def main():
 
         runner = ShardedDetector(detector, make_data_mesh())
 
+    import jax.numpy as jnp
+
     log.info("detecting...")
     if args.profile:
         jax.profiler.start_trace(args.profile)
@@ -113,12 +115,14 @@ def main():
         ca = np.concatenate([a[s : s + c], np.zeros((pad, a.shape[1]), np.int64)])
         cb = np.concatenate([b7[s : s + c], np.zeros((pad, b7.shape[1]), np.int64)])
         out = runner.detect(ClueBatch(ca, cb))
-        chunks.append(np.asarray(out)[:c])
+        # keep the pertinency ciphertexts ON DEVICE: pulling them to host
+        # and re-uploading costs 2x ~2.1 GB of (tunneled) transfers at
+        # D=65536 — the digest encoders consume them in place
+        chunks.append(out[:c])
         done += c
         log.info("  detected %d/%d", done, all_count)
-    import jax as _jax
-
-    pertinency = np.concatenate(chunks)
+    pv = jnp.concatenate(chunks)
+    jax.block_until_ready(pv)
     if args.profile:
         jax.profiler.stop_trace()
         log.info("profiler trace written to %s", args.profile)
@@ -130,10 +134,6 @@ def main():
 
     retriever = skp.generate_retriever(all_count, pertinent_count)
     rp = retriever.params
-
-    import jax.numpy as jnp
-
-    pv = jnp.asarray(pertinency)
 
     log.info("encoding index digests...")
     t0 = time.perf_counter()
