@@ -104,24 +104,38 @@ def main():
     if args.profile:
         jax.profiler.start_trace(args.profile)
     t0 = time.perf_counter()
-    chunks = []
     bsz = args.batch
     if args.sharded and n_dev > 1:
         bsz = -(-bsz // n_dev) * n_dev
     done = 0
+    # keep the pertinency ciphertexts ON DEVICE: pulling them to host and
+    # re-uploading costs 2x ~2.1 GB of (tunneled) transfers at D=65536 —
+    # the digest encoders consume them in place. Batches land in a
+    # preallocated buffer via a DONATED dynamic-update-slice (a 128-ary
+    # device concatenate takes minutes to compile).
+    pv = None
+    upd = jax.jit(
+        lambda buf, val, s: jax.lax.dynamic_update_slice(
+            buf, val, (s, 0, 0)
+        ),
+        donate_argnums=0,
+    )
     for s in range(0, all_count, bsz):
         c = min(bsz, all_count - s)
         pad = bsz - c
         ca = np.concatenate([a[s : s + c], np.zeros((pad, a.shape[1]), np.int64)])
         cb = np.concatenate([b7[s : s + c], np.zeros((pad, b7.shape[1]), np.int64)])
         out = runner.detect(ClueBatch(ca, cb))
-        # keep the pertinency ciphertexts ON DEVICE: pulling them to host
-        # and re-uploading costs 2x ~2.1 GB of (tunneled) transfers at
-        # D=65536 — the digest encoders consume them in place
-        chunks.append(out[:c])
+        if pv is None:
+            pv = jnp.zeros(
+                (all_count,) + out.shape[1:], dtype=out.dtype
+            )
+        if c == bsz:
+            pv = upd(pv, out, s)
+        else:  # final partial batch: one eager (unfused) update
+            pv = jax.lax.dynamic_update_slice(pv, out[:c], (s, 0, 0))
         done += c
         log.info("  detected %d/%d", done, all_count)
-    pv = jnp.concatenate(chunks)
     jax.block_until_ready(pv)
     if args.profile:
         jax.profiler.stop_trace()
