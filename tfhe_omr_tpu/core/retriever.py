@@ -26,6 +26,7 @@ from tfhe_omr_tpu.core.detector import sample_weights
 from tfhe_omr_tpu.core.errors import IndexDecodeError, InvertibleMatrixError
 from tfhe_omr_tpu.core.matrix import solve_matrix
 from tfhe_omr_tpu.core.params import RetrievalParams
+from tfhe_omr_tpu.utils.devices import host_math
 
 
 class Retriever:
@@ -60,7 +61,10 @@ class Retriever:
         with the flag==1 bucket scan at ``:93-123``).
         """
         rp = self.params
-        dec = np.asarray(self._decrypt_jit(jnp.asarray(ct)))
+        # the retriever is the CLIENT: its decrypts are tiny and must not
+        # ride the (tunneled) accelerator — pin to the host backend
+        with host_math():
+            dec = np.asarray(self._decrypt_jit(jnp.asarray(np.asarray(ct))))
         decoded = self._round_to_p(dec)
         sps = rp.slots_per_segment
         spb = rp.slots_per_bucket
@@ -104,7 +108,10 @@ class Retriever:
         Counterpart of ``decode_combined_payloads`` (``retriever.rs:318-362``).
         """
         rp = self.params
-        dec = np.asarray(self._decrypt_jit(jnp.asarray(combination_cts)))
+        with host_math():
+            dec = np.asarray(
+                self._decrypt_jit(jnp.asarray(np.asarray(combination_cts)))
+            )
         vals = self._round_to_p(dec)  # (cc, N)
         plen = rp.payload_length
         per = rp.cmb_count_per_cipher
@@ -140,7 +147,10 @@ class Retriever:
         q = self.ctx.f2.q
         p = int(rp.index_modulus)
         delta = (2 * q + p) // (2 * p)
-        dec = np.asarray(self._decrypt_jit(jnp.asarray(combination_cts)))
+        with host_math():
+            dec = np.asarray(
+                self._decrypt_jit(jnp.asarray(np.asarray(combination_cts)))
+            )
         vals = self._round_to_p(dec)
         noise = np.mod(dec - vals * delta, q)
         signed = np.where(noise > q // 2, noise - q, noise).astype(np.float64)
