@@ -16,10 +16,12 @@ import numpy as np
 
 
 def main():
-    # 512 amortizes the tunneled backend's ~30 ms/dispatch across the 3
-    # stage calls (215.6 vs 195.5 msg/s measured at 128); D=65536 in the
-    # production setting makes large batches the natural operating point
-    batch = int(os.environ.get("OMR_BENCH_BATCH", "512"))
+    # 1024 fully amortizes the tunneled backend's ~30 ms/dispatch across
+    # the 3 stage calls (219.1 vs 215.6 msg/s at 512 vs 195.5 at 128);
+    # D=65536 in the production setting makes large batches the natural
+    # operating point, and at 1024 the three stage times sum to the whole
+    # batch time (stage glue fully hidden)
+    batch = int(os.environ.get("OMR_BENCH_BATCH", "1024"))
     reps = int(os.environ.get("OMR_BENCH_REPS", "3"))
 
     import jax
