@@ -31,7 +31,7 @@ def main():
     from tfhe_omr_tpu.core.context import OmrContext
     from tfhe_omr_tpu.ops.bootstrap import make_fused_trace, make_trace
     from tfhe_omr_tpu.ops.pallas_fused import (
-        make_auto_onehot,
+        make_auto_compact,
         make_trace_balanced,
     )
 
@@ -47,7 +47,7 @@ def main():
     tk_np = rng.integers(0, f.q, size=(rounds, n, d, 2), dtype=np.int64)
     tk = jnp.asarray(tk_np)
     tk_sh = jnp.asarray(f.shoup(tk_np))
-    oh = jnp.asarray(make_auto_onehot(ctx.trace_autos, n))
+    oh = jnp.asarray(make_auto_compact(ctx.trace_autos, n))
     tk_bal = jnp.asarray(make_trace_balanced(tk_np, f.q))
 
     def bench(fn, label):

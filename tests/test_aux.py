@@ -31,8 +31,36 @@ def test_key_size_accounting(tiny_skp):
     det = tiny_skp.generate_detector()
     size = det.detect_key_size()
     assert size > 0
+    # dtype-aware: must equal the sum of nbytes of every shipped array
+    expect = sum(
+        a.size * a.dtype.itemsize for a in det.key if a is not None
+    )
+    assert size == expect
     sender = tiny_skp.generate_sender()
     assert sender.clue_key_size() > 0
+
+
+def test_payload_ring_ops(rng):
+    """Payload add/sub/mul_scalar mod p (reference payload.rs:53-103)."""
+    from tfhe_omr_tpu.core.payload import (
+        payload_add,
+        payload_mul_scalar,
+        payload_sub,
+        random_payloads,
+    )
+
+    p = 257
+    a = random_payloads(rng, 4)
+    b = random_payloads(rng, 4)
+    s = int(rng.integers(0, p))
+    assert np.array_equal(payload_add(a, b, p), (a + b) % p)
+    assert np.array_equal(payload_sub(a, b, p), (a - b) % p)
+    assert np.array_equal(payload_mul_scalar(a, s, p), (a * s) % p)
+    # add then sub round-trips
+    assert np.array_equal(payload_sub(payload_add(a, b, p), b, p), a % p)
+    # per-message scalar broadcast (the digest-weight shape)
+    w = rng.integers(0, p, size=(4, 1))
+    assert np.array_equal(payload_mul_scalar(a, w, p), (a * w) % p)
 
 
 def test_noise_sigma_info(tiny_skp, rng):

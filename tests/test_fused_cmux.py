@@ -183,7 +183,7 @@ def test_fused_trace_bit_identical(rng):
     """Fused trace kernel (interpret) vs the XLA make_trace path."""
     from tfhe_omr_tpu.ops.bootstrap import make_fused_trace, make_trace
     from tfhe_omr_tpu.ops.pallas_fused import (
-        make_auto_onehot,
+        make_auto_compact,
         make_trace_balanced,
     )
     from tfhe_omr_tpu.utils.devices import host_math as hm
@@ -204,7 +204,7 @@ def test_fused_trace_bit_identical(rng):
         out_ref = np.asarray(tr_ref(acc, trace_k, trace_k_sh))
 
     tr_fused = make_fused_trace(f, ntt, g, interpret=True)
-    oh = jnp.asarray(make_auto_onehot(ctx.trace_autos, params.n2))
+    oh = jnp.asarray(make_auto_compact(ctx.trace_autos, params.n2))
     tk_bal = jnp.asarray(make_trace_balanced(np.asarray(trace_k), f.q))
     out = np.asarray(tr_fused(acc, oh, tk_bal))
 

@@ -206,12 +206,12 @@ class Detector:
                 return br2_fused(acc2, ms_a.T, bsk2_bal)
             return br2(acc2, ms_a.T, bsk2, bsk2_sh)
 
-        def stage3(acc2, trace_k, trace_k_sh, trace_oh, trace_bal):
+        def stage3(acc2, trace_k, trace_k_sh, trace_auto, trace_bal):
             """x N^-1, homomorphic trace, to NTT domain
             (``detector.rs:626-639``)."""
             acc2 = f2.mul_shoup(acc2, n2_inv_j, n2_inv_sh)
             if can_fused_tr and (forced or acc2.shape[2] % 128 == 0):
-                acc2 = trace_fused(acc2, trace_oh, trace_bal)
+                acc2 = trace_fused(acc2, trace_auto, trace_bal)
             else:
                 acc2 = trace(acc2, trace_k, trace_k_sh)
             out = ntt2.fwd(acc2)  # to NTT domain (``to_ntt_rlwe``)
@@ -228,7 +228,7 @@ class Detector:
             )
             acc2 = stage2(ms_a, ms_b, key.bsk2, key.bsk2_sh, key.bsk2_bal)
             return stage3(
-                acc2, key.trace_k, key.trace_k_sh, key.trace_oh,
+                acc2, key.trace_k, key.trace_k_sh, key.trace_auto,
                 key.trace_bal,
             )
 
@@ -322,7 +322,7 @@ class Detector:
         )
         acc2 = self._stage2_jit(ms_a, ms_b, key.bsk2, key.bsk2_sh, key.bsk2_bal)
         return self._stage3_jit(
-            acc2, key.trace_k, key.trace_k_sh, key.trace_oh, key.trace_bal
+            acc2, key.trace_k, key.trace_k_sh, key.trace_auto, key.trace_bal
         )
 
     def detect_with_time_info(self, clues: ClueBatch):
@@ -342,7 +342,7 @@ class Detector:
         jax.block_until_ready(acc2)
         t2 = time.perf_counter()
         out = self._stage3_jit(
-            acc2, key.trace_k, key.trace_k_sh, key.trace_oh, key.trace_bal
+            acc2, key.trace_k, key.trace_k_sh, key.trace_auto, key.trace_bal
         )
         jax.block_until_ready(out)
         t3 = time.perf_counter()
@@ -495,12 +495,15 @@ class Detector:
         return accs
 
     def detect_key_size(self) -> int:
-        """Byte-size accounting (counterpart of the ``Size`` trait)."""
-        k = self.key
+        """Byte-size accounting of everything the detector actually holds in
+        HBM (counterpart of the ``Size`` trait, reference
+        ``key_gen/detection.rs:81-89``), dtype-aware: every field of the
+        DetectionKey — including the fused-kernel balanced planes and Shoup
+        tables — is charged at its real ``nbytes``."""
         total = 0
-        for arr in (k.bsk1, k.bsk2, k.trace_k):
-            total += arr.size * 8
-        total += k.ksk_limbs.size  # int8 planes of the int matrix
+        for arr in self.key:
+            if arr is not None:
+                total += arr.size * arr.dtype.itemsize
         return total
 
 

@@ -41,7 +41,7 @@ class DetectionKey(NamedTuple):
     bsk1_bal: jnp.ndarray | None = None  # (n0/2, N1, 128) int16 balanced
     bsk2_bal: jnp.ndarray | None = None  # (n_int/2, 2*d2, N2, 32) int16
     trace_bal: jnp.ndarray | None = None  # (rounds, d_tr+pad, N2, 16) int16
-    trace_oh: jnp.ndarray | None = None  # (rounds, N2, N2) int8 one-hot
+    trace_auto: jnp.ndarray | None = None  # (rounds, N2, 2) int32 (idx, sign)
 
 
 class ClueKey(NamedTuple):
@@ -189,10 +189,10 @@ class SecretKeyPack:
                 )
             bsk2_bal = None
             trace_bal = None
-            trace_oh = None
+            trace_auto = None
             if c.f2.bits == 50:
                 from tfhe_omr_tpu.ops.pallas_fused import (
-                    make_auto_onehot,
+                    make_auto_compact,
                     make_bsk2_balanced,
                     make_trace_balanced,
                 )
@@ -203,7 +203,7 @@ class SecretKeyPack:
                 trace_bal = jnp.asarray(
                     make_trace_balanced(np.asarray(trace_k), c.f2.q)
                 )
-                trace_oh = jnp.asarray(make_auto_onehot(c.trace_autos, p.n2))
+                trace_auto = jnp.asarray(make_auto_compact(c.trace_autos, p.n2))
         return to_accelerator(DetectionKey(
             bsk1=bsk1,
             bsk1_sh=bsk1_sh,
@@ -215,7 +215,7 @@ class SecretKeyPack:
             bsk1_bal=bsk1_bal,
             bsk2_bal=bsk2_bal,
             trace_bal=trace_bal,
-            trace_oh=trace_oh,
+            trace_auto=trace_auto,
         ))
 
     def _gen_bsk(self, lwe_sk, z_f, z_ntt, field, ntt, gadget, noise_std, rng):

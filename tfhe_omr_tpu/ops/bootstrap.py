@@ -139,21 +139,21 @@ def make_fused_trace(
     field: PrimeField, ntt, gadget: SignedGadget, interpret: bool = False
 ):
     """Fused-kernel homomorphic trace: same contract as make_trace but
-    consumes the signed one-hot automorphism matrices and balanced
-    trace-key planes (see pallas_fused.make_auto_onehot /
+    consumes the compact automorphism (index, sign) pairs and balanced
+    trace-key planes (see pallas_fused.make_auto_compact /
     make_trace_balanced). Bit-identical to the XLA path."""
     from tfhe_omr_tpu.ops.pallas_fused import FusedTrace
 
     fused = FusedTrace(field, ntt, gadget.d, interpret=interpret)
     m25 = jnp.int64((1 << 25) - 1)
 
-    def trace(acc, oh, tk_bal):
+    def trace(acc, auto, tk_bal):
         """acc (N, 2, B) int64 -> (N, 2, B) int64."""
         acc = acc.astype(jnp.int64).transpose(1, 0, 2)  # (2, N, B)
         acc_l = jnp.stack(
             [(acc & m25).astype(jnp.int32), (acc >> 25).astype(jnp.int32)]
         )
-        out = fused(acc_l, oh, tk_bal)
+        out = fused(acc_l, auto, tk_bal)
         val = out[0].astype(jnp.int64) + (out[1].astype(jnp.int64) << 25)
         return val.transpose(1, 0, 2)
 

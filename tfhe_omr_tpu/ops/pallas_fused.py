@@ -1321,16 +1321,18 @@ def make_trace_balanced(tk_int: np.ndarray, q: int) -> np.ndarray:
     return out
 
 
-def make_auto_onehot(autos, n: int) -> np.ndarray:
-    """Host prep: per-round signed one-hot automorphism matrices
-    P[r, i, gidx[i]] = gsign[i], so sigma_g(acc) = P @ acc — the automorphism
-    becomes an int8 MXU dot instead of an element-serial gather."""
+def make_auto_compact(autos, n: int) -> np.ndarray:
+    """Host prep: per-round automorphism (index, sign) pairs (rounds, N, 2)
+    int32 — sigma_g(acc)[i] = sign[i] * acc[idx[i]]. The signed one-hot
+    matrix P[i, idx[i]] = sign[i] the trace kernel dots against (an int8 MXU
+    dot instead of an element-serial gather) is built IN-KERNEL by an iota
+    compare, so only ~180 KB ships to HBM instead of the (rounds, N, N)
+    int8 ≈ 46 MB one-hot stack."""
     rounds = len(autos)
-    out = np.zeros((rounds, n, n), dtype=np.int8)
+    out = np.zeros((rounds, n, 2), dtype=np.int32)
     for r_i, (_g, gidx, gsign) in enumerate(autos):
-        out[r_i, np.arange(n), np.asarray(gidx)] = np.asarray(
-            gsign, dtype=np.int8
-        )
+        out[r_i, :, 0] = np.asarray(gidx)
+        out[r_i, :, 1] = np.asarray(gsign)
     return out
 
 
@@ -1398,7 +1400,7 @@ class FusedTrace(FusedBlindRotateL2):
 
         def kernel(
             w0f_ref, w1f_ref, w0i_ref, w1i_ref,
-            acc_ref, oh_ref, tk_ref,
+            acc_ref, auto_ref, tk_ref,
             o_ref,
             acc_s, dig8_s, dnlo_s, dnhi_s, slo_s, shi_s, plo_s, phi_s,
             ab_s, g_s,
@@ -1412,7 +1414,13 @@ class FusedTrace(FusedBlindRotateL2):
             def _():
                 acc_s[:] = acc_ref[:]
 
-            pmat = oh_ref[0]  # (N, N) int8 signed one-hot
+            # (N, N) int8 signed one-hot, built in-kernel from the compact
+            # (index, sign) pairs: P[i, gidx[i]] = gsign[i]
+            av = auto_ref[0]  # (N, 2) int32
+            colj = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
+            pmat = jnp.where(
+                colj == av[:, 0:1], av[:, 1:2], jnp.int32(0)
+            ).astype(jnp.int8)
             # ---- 1. automorphism of both components via plane dots
             auto = []
             for o in range(2):
@@ -1582,12 +1590,12 @@ class FusedTrace(FusedBlindRotateL2):
                 o_ref[0, 1] = nb_lo
                 o_ref[1, 1] = nb_hi
 
-        def call(acc_limbs, oh, tk_bal):
-            """acc_limbs (2, 2, N, B) int32 [limb, o, n, b]; oh
-            (rounds, N, N) int8; tk_bal (rounds, jc, N, 16) int16
-            -> (2, 2, N, B) int32."""
+        def call(acc_limbs, auto, tk_bal):
+            """acc_limbs (2, 2, N, B) int32 [limb, o, n, b]; auto
+            (rounds, N, 2) int32 (make_auto_compact); tk_bal
+            (rounds, jc, N, 16) int16 -> (2, 2, N, B) int32."""
             _, _, n_, b = acc_limbs.shape
-            rounds = oh.shape[0]
+            rounds = auto.shape[0]
             tile = min(self.tile, b)
             assert b % tile == 0, (b, tile)
             i32 = jnp.int32
@@ -1612,7 +1620,7 @@ class FusedTrace(FusedBlindRotateL2):
                         memory_space=pltpu.VMEM,
                     ),
                     pl.BlockSpec(
-                        (1, n_, n_),
+                        (1, n_, 2),
                         lambda i, s: (s.astype(i32), i32(0), i32(0)),
                         memory_space=pltpu.VMEM,
                     ),
@@ -1643,10 +1651,10 @@ class FusedTrace(FusedBlindRotateL2):
                     vmem_limit_bytes=127 * 1024 * 1024,
                 ),
                 interpret=self.interpret,
-            )(w0f, w1f, w0i, w1i, acc_limbs, oh, tk_bal)
+            )(w0f, w1f, w0i, w1i, acc_limbs, auto, tk_bal)
             return out
 
         return call
 
-    def __call__(self, acc_limbs, oh, tk_bal):
-        return self._call(acc_limbs, oh, tk_bal)
+    def __call__(self, acc_limbs, auto, tk_bal):
+        return self._call(acc_limbs, auto, tk_bal)
