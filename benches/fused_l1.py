@@ -71,11 +71,16 @@ def main():
         out = fn()
         jax.block_until_ready(out)
         compile_s = time.perf_counter() - t0
+        # the tunneled backend can ack block_until_ready before the device
+        # has actually run the program; fetching a tiny slice forces real
+        # completion (costs one small RTT, measured separately below)
+        fetch = lambda o: np.asarray(jax.tree_util.tree_leaves(o)[0].ravel()[:8])
+        fetch(out)
         times = []
         for _ in range(args.reps):
             t0 = time.perf_counter()
             out = fn()
-            jax.block_until_ready(out)
+            fetch(out)
             times.append(time.perf_counter() - t0)
         best = min(times)
         print(

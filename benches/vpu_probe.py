@@ -1,13 +1,15 @@
 """VPU / MXU op-rate probe for the fused-kernel cost model.
 
-Measures sustained elementwise int32 throughput (mul / add / shift / mixed,
-with independent streams to expose ILP and co-issue) and int8 MXU dot rates
-at the blind-rotation kernel's shapes. PERF_NOTES.md round-1 fitted a model
-of ~1 int32 op/lane/cycle counting mul and add equally; round-2 restructures
-(Karatsuba limb products, add-heavy Horner, MXU MAC offload) hinge on the
-REAL relative rates, so measure them.
+Measures sustained elementwise int32 throughput (mul / add / shift / mixed)
+and int8 MXU dot rates at the blind-rotation kernel's shapes. Chains are
+mutual recurrences (a = op(a,b); b = op2(b,a)) so the compiler cannot
+strength-reduce or fold them; `streams` independent chains expose ILP.
 
-Usage: python benches/vpu_probe.py [--size 256] [--rounds 64] [--unroll 16]
+PERF_NOTES.md round-1 fitted ~1 int32 op/lane/cycle counting mul and add
+equally; round-2 restructures (Karatsuba limb products, add-heavy Horner,
+MXU MAC offload) hinge on the REAL relative rates.
+
+Usage: python benches/vpu_probe.py
 Prints one JSON line per variant: {"variant": ..., "gops": ...}.
 """
 
@@ -21,57 +23,54 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+# (name, op_a, op_b): the two halves of the mutual recurrence; each is one
+# VPU op, so ops/elem/iter = 2.
+VARIANTS = {
+    "add": (lambda a, b: a + b, lambda b, a: b + a),
+    "mul": (lambda a, b: a * b, lambda b, a: b * a),
+    "mul_add": (lambda a, b: a * b, lambda b, a: b + a),
+    "sub_add": (lambda a, b: a - b, lambda b, a: b + a),
+    "shift_add": (lambda a, b: (a >> 1), lambda b, a: b + a),
+    "mask_add": (lambda a, b: (a & b), lambda b, a: b + a),
+    "sel_add": (
+        lambda a, b: jnp.where(a > b, a - b, a),
+        lambda b, a: b + a,
+    ),
+}
 
-def make_probe(op: str, shape, rounds: int, unroll: int, streams: int = 4):
-    """Kernel: `streams` independent op chains, `rounds*unroll` deep each."""
+
+def make_probe(op: str, shape, iters: int, streams: int):
+    fa, fb = VARIANTS[op]
 
     def kernel(x_ref, y_ref, o_ref):
-        ys = y_ref[:]
-
-        def body(i, xs):
-            del i
+        def body(i, state):
             out = []
-            for s, xv in enumerate(xs):
-                v = xv
-                for u in range(unroll):
-                    if op == "mul":
-                        v = v * ys
-                    elif op == "add":
-                        v = v + ys
-                    elif op == "sub":
-                        v = v - ys
-                    elif op == "shift":
-                        v = v >> 1
-                    elif op == "mask":
-                        v = v & ys
-                    elif op == "mulladd":  # alternating mul / add
-                        v = v * ys if u % 2 == 0 else v + ys
-                    elif op == "muladd2":  # v*y + y (mul feeding add)
-                        v = v * ys + ys
-                    elif op == "select":
-                        v = jnp.where(v > ys, v - ys, v)
-                    else:
-                        raise ValueError(op)
-                out.append(v)
+            for (a, b) in state:
+                a2 = fa(a, b)
+                b2 = fb(b, a2)
+                out.append((a2, b2))
             return tuple(out)
 
-        xs0 = tuple(x_ref[:] + jnp.int32(s) for s in range(streams))
-        xs = jax.lax.fori_loop(jnp.int32(0), jnp.int32(rounds), body, xs0)
-        acc = xs[0]
-        for v in xs[1:]:
-            acc = acc + v
+        st0 = tuple(
+            (x_ref[:] + jnp.int32(s), y_ref[:] + jnp.int32(s))
+            for s in range(streams)
+        )
+        st = jax.lax.fori_loop(jnp.int32(0), jnp.int32(iters), body, st0)
+        acc = st[0][0]
+        for (a, b) in st:
+            acc = acc + b
         o_ref[:] = acc
 
     def call(x, y):
         return pl.pallas_call(
             kernel,
             out_shape=jax.ShapeDtypeStruct(shape, jnp.int32),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024
+            ),
         )(x, y)
 
-    ops_per_elem = rounds * unroll * streams
-    if op == "muladd2":
-        ops_per_elem *= 2
-    return jax.jit(call), ops_per_elem
+    return jax.jit(call), 2 * iters * streams
 
 
 def make_dot_probe(m: int, k: int, n: int, rounds: int):
@@ -88,12 +87,17 @@ def make_dot_probe(m: int, k: int, n: int, rounds: int):
             return acc + p
 
         acc0 = jnp.zeros((m, n), jnp.int32)
-        o_ref[:] = jax.lax.fori_loop(jnp.int32(0), jnp.int32(rounds), body, acc0)
+        o_ref[:] = jax.lax.fori_loop(
+            jnp.int32(0), jnp.int32(rounds), body, acc0
+        )
 
     def call(a, b):
         return pl.pallas_call(
             kernel,
             out_shape=jax.ShapeDtypeStruct((m, n), jnp.int32),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024
+            ),
         )(a, b)
 
     return jax.jit(call)
@@ -123,9 +127,8 @@ def bench(fn, args, total_ops, label, reps=5):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--size", type=int, default=512)  # rows of (size, 1024)
-    ap.add_argument("--rounds", type=int, default=128)
-    ap.add_argument("--unroll", type=int, default=16)
+    ap.add_argument("--size", type=int, default=256)  # rows of (size, 1024)
+    ap.add_argument("--iters", type=int, default=512)
     args = ap.parse_args()
 
     shape = (args.size, 1024)
@@ -134,10 +137,9 @@ def main():
     y = jnp.asarray(rng.integers(1, 1 << 10, size=shape, dtype=np.int32))
     elems = shape[0] * shape[1]
 
-    for op in ("add", "mul", "sub", "shift", "mask", "mulladd", "muladd2",
-               "select"):
+    for op in VARIANTS:
         for streams in (1, 4):
-            fn, ope = make_probe(op, shape, args.rounds, args.unroll, streams)
+            fn, ope = make_probe(op, shape, args.iters, streams)
             bench(fn, (x, y), elems * ope, f"i32_{op}_s{streams}")
 
     # MXU: the L2 kernel's NTT dot shape (contraction 2048, int8) and the
