@@ -17,10 +17,11 @@ import numpy as np
 
 def main():
     # 1024 fully amortizes the tunneled backend's ~30 ms/dispatch across
-    # the 3 stage calls (219.1 vs 215.6 msg/s at 512 vs 195.5 at 128);
+    # the 3 stage calls (~218 vs 215.6 msg/s at 512 vs 195.5 at 128);
     # D=65536 in the production setting makes large batches the natural
-    # operating point, and at 1024 the three stage times sum to the whole
-    # batch time (stage glue fully hidden)
+    # operating point, and at 1024 the three stage times approximately sum
+    # to the whole batch time (stage glue hidden; timers overlap by ~0.5%).
+    # Downsize via OMR_BENCH_BATCH=512 on smaller/shared slices.
     batch = int(os.environ.get("OMR_BENCH_BATCH", "1024"))
     reps = int(os.environ.get("OMR_BENCH_REPS", "3"))
 
