@@ -45,14 +45,78 @@ def main():
     jax.block_until_ready(out)
     compile_s = time.perf_counter() - t0
 
+    # OMR_BENCH_FETCH=1 forces a tiny device->host fetch inside the timed
+    # region: on tunneled backends block_until_ready can ack before the
+    # device has actually executed (PERF_NOTES.md); the fetch pins the true
+    # completion at the cost of one small RTT.
+    fetch = os.environ.get("OMR_BENCH_FETCH") == "1"
     times = []
     stages = None
     for _ in range(reps):
         t0 = time.perf_counter()
         out, stages = detector.detect_with_time_info(clues)
+        if fetch:
+            np.asarray(out[:1, :1, :8])
         times.append(time.perf_counter() - t0)
     best = min(times)
     msgs_per_sec = batch / best
+
+    # ---- digest encoders + client decode at D-scale (synthetic pertinency
+    # stack: timing only needs the shapes; reference baselines at D=65536:
+    # encode indices 3.482 s / 5 cts, encode payloads 24.26 s, decode
+    # 305.53 ms — reference README.md:122-125)
+    enc = {}
+    d_scale = int(os.environ.get("OMR_BENCH_D", "65536"))
+    if d_scale:
+        import jax.numpy as jnp
+
+        rp = skp.generate_retriever(d_scale, 50).params
+        n2 = rp.polynomial_size
+        q2 = skp.ctx.f2.q
+        hi = jax.random.randint(
+            jax.random.PRNGKey(0), (d_scale, 2, n2), 0, 1 << 31,
+            dtype=jnp.int64,
+        )
+        pert = jax.block_until_ready(hi % q2)  # synthetic NTT-domain cts
+        enc_rng = np.random.default_rng(7)
+        # warm (compile) then measure one index ct
+        ct = detector.encode_pertinent_indices(rp, pert, enc_rng)
+        jax.block_until_ready(ct)
+        t0 = time.perf_counter()
+        ct = detector.encode_pertinent_indices(rp, pert, enc_rng)
+        np.asarray(ct[:1, :8])
+        idx_s = time.perf_counter() - t0
+        payloads = enc_rng.integers(0, 256, size=(d_scale, rp.payload_length))
+        pay_cts = detector.encode_pertinent_payloads(rp, pert, payloads, 9)
+        jax.block_until_ready(pay_cts)
+        t0 = time.perf_counter()
+        pay_cts = detector.encode_pertinent_payloads(rp, pert, payloads, 9)
+        np.asarray(pay_cts[:1, :1, :8])
+        pay_s = time.perf_counter() - t0
+        # client decode (host/C++): one index-ct scan attempt + all payload
+        # ct decrypts (synthetic data never decodes, the work is identical)
+        retr = skp.generate_retriever(d_scale, 50)
+        t0 = time.perf_counter()
+        retr.decode_pertinent_indices(ct)
+        idx_dec_s = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        retr.decode_combined_payloads(pay_cts)
+        pay_dec_s = time.perf_counter() - t0
+        enc = {
+            "digest_d": d_scale,
+            "encode_indices_s_per_ct": round(idx_s, 3),
+            "encode_indices_total_s_5ct": round(5 * idx_s, 3),
+            "encode_payloads_s": round(pay_s, 3),
+            "decode_s": round(
+                rp.max_encode_indices_cipher_count * 0 + idx_dec_s + pay_dec_s,
+                3,
+            ),
+            "ref_baseline_s": {
+                "encode_indices_total": 3.482,
+                "encode_payloads": 24.26,
+                "decode": 0.30553,
+            },
+        }
 
     baseline_msgs_per_sec = 4.27  # reference single-core (BASELINE.md)
     result = {

@@ -151,8 +151,11 @@ def main():
 
     log.info("encoding index digests...")
     t0 = time.perf_counter()
+    # the runner (sharded or single-device) drives the digest encoders, so
+    # --sharded runs the psum reduce end-to-end (reference detector.rs
+    # :333-336,445-449's rayon tree-reduce)
     index_cts = [
-        detector.encode_pertinent_indices(rp, pv, rng)
+        runner.encode_pertinent_indices(rp, pv, rng)
         for _ in range(rp.max_encode_indices_cipher_count)
     ]
     rec.encode_indices_time = time.perf_counter() - t0
@@ -162,7 +165,7 @@ def main():
     seed = int(rng.integers(0, 2**63))
     log.info("encoding payload digests...")
     t0 = time.perf_counter()
-    payload_cts = detector.encode_pertinent_payloads(rp, pv, payloads, seed)
+    payload_cts = runner.encode_pertinent_payloads(rp, pv, payloads, seed)
     rec.encode_payloads_time = time.perf_counter() - t0
     log.info("encode payloads time: %.3fs (%d ciphertexts)",
              rec.encode_payloads_time, payload_cts.shape[0])

@@ -16,7 +16,10 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
+# the hardware tier (pytest -m tpu with TFHE_OMR_TPU_TESTS=1) keeps the real
+# accelerator backend; everything else runs on the virtual CPU mesh
+if os.environ.get("TFHE_OMR_TPU_TESTS") != "1":
+    jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

@@ -193,7 +193,7 @@ def test_fused_trace_bit_identical(rng):
     ctx = skp.ctx
     f, ntt, g = ctx.f2, ctx.ntt2, ctx.gadget_trace
     with hm():
-        trace_k, trace_k_sh = skp._gen_trace_key(np.random.default_rng(13))
+        trace_k, trace_k_sh = skp._gen_trace_key(np.random.default_rng(13))[:2]
     B = 8
     acc = jnp.asarray(
         rng.integers(0, f.q, size=(params.n2, 2, B), dtype=np.int64)

@@ -41,6 +41,42 @@ def test_sharded_detect_matches_single(setup):
     np.testing.assert_array_equal(single, multi)
 
 
+def test_sharded_detect_pads_ragged_batches(setup):
+    """A batch not divisible by the device count zero-pads internally."""
+    params, skp, detector, clues = setup
+    sharded = ShardedDetector(detector, make_data_mesh())
+    ragged = ClueBatch(clues.a[:11], clues.b7[:11])
+    single = np.asarray(detector.detect(ragged))
+    multi = np.asarray(sharded.detect(ragged))
+    assert multi.shape[0] == 11
+    np.testing.assert_array_equal(single, multi)
+
+
+def test_sharded_full_digest_matches_single(setup):
+    """encode_pertinent_indices / encode_pertinent_payloads through the
+    psum path == the single-device encoders (same rng streams)."""
+    from tfhe_omr_tpu.core.payload import random_payloads
+
+    params, skp, detector, clues = setup
+    sharded = ShardedDetector(detector, make_data_mesh())
+    pv = detector.detect(clues)
+    rp = skp.generate_retriever(16, 4).params
+
+    s_idx = detector.encode_pertinent_indices(
+        rp, pv, np.random.default_rng(7), chunk=8
+    )
+    m_idx = sharded.encode_pertinent_indices(
+        rp, pv, np.random.default_rng(7), chunk=8
+    )
+    np.testing.assert_array_equal(np.asarray(s_idx), np.asarray(m_idx))
+
+    payloads = random_payloads(np.random.default_rng(8), 16,
+                               rp.payload_length)
+    s_pay = detector.encode_pertinent_payloads(rp, pv, payloads, 9, chunk=8)
+    m_pay = sharded.encode_pertinent_payloads(rp, pv, payloads, 9, chunk=8)
+    np.testing.assert_array_equal(np.asarray(s_pay), np.asarray(m_pay))
+
+
 def test_sharded_encode_matches_single(setup):
     params, skp, detector, clues = setup
     mesh = make_data_mesh()

@@ -1,0 +1,176 @@
+"""Hardware tier: repeatable correctness checks on a real TPU chip.
+
+Round-1 verified fused-kernel bit-equality on hardware only ad hoc
+(docs/PERF_NOTES.md); a Mosaic regression would have shipped silently. This
+tier re-validates after any kernel change:
+
+    TFHE_OMR_TPU_TESTS=1 python -m pytest -m tpu tests/test_tpu.py -q
+
+Covers: fused == XLA bit-equality at production shapes for both blind-
+rotation levels and the trace (compiled Mosaic, not interpret mode), the omd
+correctness oracle at the reference parameters through the fused kernels,
+and a mini end-to-end round trip — all on the real chip.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+pytestmark = pytest.mark.tpu
+
+requires_tpu = pytest.mark.skipif(
+    os.environ.get("TFHE_OMR_TPU_TESTS") != "1",
+    reason="hardware tier: set TFHE_OMR_TPU_TESTS=1 on a TPU host",
+)
+
+
+@pytest.fixture(scope="module")
+def tpu_backend():
+    import jax
+
+    backend = jax.default_backend()
+    if backend == "cpu":
+        pytest.skip("no accelerator backend available")
+    return backend
+
+
+@requires_tpu
+def test_fused_l1_bit_identical_on_hw(tpu_backend, rng):
+    """Compiled (non-interpret) fused L1 kernel vs the XLA path, B=128."""
+    import jax
+    import jax.numpy as jnp
+
+    from tfhe_omr_tpu.core.context import OmrContext
+    from tfhe_omr_tpu.core.params import OmrParameters
+    from tfhe_omr_tpu.ops.bootstrap import (
+        make_blind_rotate,
+        make_fused_blind_rotate,
+    )
+    from tfhe_omr_tpu.ops.pallas_fused import make_bsk_balanced_paired
+
+    params = OmrParameters.default()
+    ctx = OmrContext(params)
+    f, ntt, g = ctx.f1, ctx.ntt1, ctx.gadget_br1
+    n, steps, B = params.n1, 8, 128  # 8 paired steps keep compiles short
+    acc = jnp.asarray(rng.integers(0, f.q, size=(n, 2, B), dtype=np.int64))
+    amounts = jnp.asarray(
+        rng.integers(0, 2 * n, size=(2 * steps, B), dtype=np.int64)
+    )
+    bsk_np = rng.integers(0, f.q, size=(3 * steps, n, g.d, 2, 2),
+                          dtype=np.int64)
+    bsk = jnp.asarray(bsk_np)
+    bsk_sh = jnp.asarray(f.shoup(bsk_np))
+    bal = jnp.asarray(make_bsk_balanced_paired(bsk_np, f.q))
+
+    fused = jax.jit(make_fused_blind_rotate(f, ntt, g, paired=True,
+                                            single_dot=True))
+    ref = jax.jit(make_blind_rotate(f, ntt, g, paired=True))
+    out_f = np.asarray(fused(acc, amounts, bal))
+    out_r = np.asarray(ref(acc, amounts, bsk, bsk_sh))
+    assert np.array_equal(out_f, out_r), int((out_f != out_r).sum())
+
+
+@requires_tpu
+def test_fused_l2_bit_identical_on_hw(tpu_backend, rng):
+    """Compiled fused L2 (dual-limb, paired) kernel vs the XLA path."""
+    import jax
+    import jax.numpy as jnp
+
+    from tfhe_omr_tpu.core.context import OmrContext
+    from tfhe_omr_tpu.core.params import OmrParameters
+    from tfhe_omr_tpu.ops.bootstrap import (
+        make_blind_rotate,
+        make_fused_blind_rotate2,
+    )
+    from tfhe_omr_tpu.ops.pallas_fused import make_bsk2_balanced
+
+    params = OmrParameters.default()
+    ctx = OmrContext(params)
+    f, ntt, g = ctx.f2, ctx.ntt2, ctx.gadget_br2
+    n, steps, B = params.n2, 4, 128
+    acc = jnp.asarray(rng.integers(0, f.q, size=(n, 2, B), dtype=np.int64))
+    amounts = jnp.asarray(
+        rng.integers(0, 2 * n, size=(2 * steps, B), dtype=np.int64)
+    )
+    bsk_np = rng.integers(0, f.q, size=(3 * steps, n, g.d, 2, 2),
+                          dtype=np.int64)
+    fused = jax.jit(make_fused_blind_rotate2(f, ntt, g))
+    ref = jax.jit(make_blind_rotate(f, ntt, g, paired=True))
+    out_f = np.asarray(
+        fused(acc, amounts, jnp.asarray(make_bsk2_balanced(bsk_np, f.q)))
+    )
+    out_r = np.asarray(
+        ref(acc, amounts, jnp.asarray(bsk_np), jnp.asarray(f.shoup(bsk_np)))
+    )
+    assert np.array_equal(out_f, out_r), int((out_f != out_r).sum())
+
+
+@requires_tpu
+def test_fused_trace_bit_identical_on_hw(tpu_backend, rng):
+    import jax
+    import jax.numpy as jnp
+
+    from tfhe_omr_tpu.core.context import OmrContext
+    from tfhe_omr_tpu.core.params import OmrParameters
+    from tfhe_omr_tpu.ops.bootstrap import make_fused_trace, make_trace
+    from tfhe_omr_tpu.ops.pallas_fused import (
+        make_auto_compact,
+        make_trace_balanced,
+    )
+
+    params = OmrParameters.default()
+    ctx = OmrContext(params)
+    f, ntt, g = ctx.f2, ctx.ntt2, ctx.gadget_trace
+    n, B = params.n2, 128
+    rounds = len(ctx.trace_autos)
+    acc = jnp.asarray(rng.integers(0, f.q, size=(n, 2, B), dtype=np.int64))
+    tk_np = rng.integers(0, f.q, size=(rounds, n, g.d, 2), dtype=np.int64)
+    fused = jax.jit(make_fused_trace(f, ntt, g))
+    ref = jax.jit(make_trace(f, ntt, g, ctx.trace_autos))
+    out_f = np.asarray(fused(
+        acc,
+        jnp.asarray(make_auto_compact(ctx.trace_autos, n)),
+        jnp.asarray(make_trace_balanced(tk_np, f.q)),
+    ))
+    out_r = np.asarray(ref(acc, jnp.asarray(tk_np), jnp.asarray(f.shoup(tk_np))))
+    assert np.array_equal(out_f, out_r), int((out_f != out_r).sum())
+
+
+@requires_tpu
+def test_omd_default_params_on_hw(tpu_backend):
+    """The omd oracle at the reference parameter set through the fused
+    kernels (batch padded to a full 128-lane tile)."""
+    from tfhe_omr_tpu.core.keygen import SecretKeyPack
+    from tfhe_omr_tpu.core.params import OmrParameters
+    from tfhe_omr_tpu.core.sender import ClueBatch
+
+    params = OmrParameters.default()
+    skp = SecretKeyPack(params, rng=3)
+    skp2 = SecretKeyPack(params, rng=4)
+    rng = np.random.default_rng(5)
+    detector = skp.generate_detector()
+    own = skp.generate_sender().gen_clues(64, rng)
+    other = skp2.generate_sender().gen_clues(64, rng)
+    batch = ClueBatch.concat([own, other])
+    assert detector._use_fused and detector._use_fused2
+
+    result = detector.detect(batch)
+    dec = skp.decrypt_rlwe2_ntt(result)
+    q, t = params.q2, params.output_plain_modulus
+    decoded = np.mod((dec * (2 * t) + q) // (2 * q), t)
+    assert (decoded[:64, 0] == 1).all()
+    assert not decoded[:64, 1:].any()
+    assert not decoded[64:].any()
+
+
+@requires_tpu
+def test_mini_roundtrip_on_hw(tpu_backend):
+    """Mini end-to-end round trip (D=128, k=8) on the real chip."""
+    from tests.test_omr_roundtrip import run_omr
+    from tfhe_omr_tpu.core.params import OmrParameters
+
+    params = OmrParameters.default()
+    true_indices, indices, payloads, solved = run_omr(params, 128, 8)
+    assert indices == true_indices
+    np.testing.assert_array_equal(solved, payloads[indices])

@@ -43,6 +43,46 @@ from tfhe_omr_tpu.ops.bootstrap import (
 )
 
 
+def index_poly_device(base_addr, idx, nd: int, segs: int, n2v: int,
+                      idx_p: int, q2: int):
+    """On-device index plaintext polys (B, N2), centred mod q.
+
+    For each message: write the ``nd`` base-p digits of ``idx`` (LSB first)
+    and a flag 1 into the drawn bucket's slots per segment (counterpart of
+    ``detector.rs:271-323``); shared by the single-device and sharded
+    (psum) encoders."""
+    half_p = (idx_p + 1) >> 1
+    ar = jnp.arange(n2v, dtype=jnp.int64)
+    poly = jnp.zeros((idx.shape[0], n2v), dtype=jnp.int64)
+    v = idx
+    for k in range(nd + 1):
+        if k < nd:
+            dv = v % idx_p
+            v = v // idx_p
+            val = jnp.where(dv < half_p, dv, q2 - idx_p + dv)
+        else:
+            val = jnp.ones_like(idx)  # flag slot
+        for s in range(segs):
+            hit = base_addr[:, s : s + 1] + k == ar[None, :]
+            poly = poly + hit * val[:, None]
+    return poly
+
+
+def payload_plain_device(payloads, weights_k, plen: int, n2v: int,
+                         idx_p: int, q2: int):
+    """On-device weighted-payload plaintext polys (B, N2), centred mod q,
+    for ONE combination ciphertext (slot layout of ``detector.rs:412-433``).
+    weights_k: (cmb, B)."""
+    cmb = weights_k.shape[0]
+    half_p = (idx_p + 1) >> 1
+    pad = jnp.zeros((payloads.shape[0], n2v - cmb * plen), dtype=jnp.int64)
+    wp = (payloads[None, :, :] * weights_k[:, :, None]) % idx_p
+    centred = jnp.where(wp < half_p, wp, q2 - idx_p + wp)
+    return jnp.concatenate(
+        [centred[c] for c in range(cmb)] + [pad], axis=1
+    )
+
+
 @dataclass
 class DetectStageTimes:
     """Per-stage timings (counterpart of ``DetectTimeInfo``,
@@ -259,20 +299,9 @@ class Detector:
             draws — the (B, N2) centred poly (reference ``detector.rs:
             271-323``) is built here from 3*segs slot comparisons.
             """
-            n2v = pert.shape[2]
-            ar = jnp.arange(n2v, dtype=jnp.int64)
-            poly = jnp.zeros((pert.shape[0], n2v), dtype=jnp.int64)
-            v = idx
-            for k in range(nd + 1):
-                if k < nd:
-                    dv = v % idx_p
-                    v = v // idx_p
-                    val = jnp.where(dv < half_p, dv, q2 - idx_p + dv)
-                else:
-                    val = jnp.ones_like(idx)  # flag slot
-                for s in range(segs):
-                    hit = base_addr[:, s : s + 1] + k == ar[None, :]
-                    poly = poly + hit * val[:, None]
+            poly = index_poly_device(
+                base_addr, idx, nd, segs, pert.shape[2], idx_p, q2
+            )
             return encode_chunk(pert, poly, acc)
 
         self._encode_idx_chunk_jit = jax.jit(
@@ -290,14 +319,11 @@ class Detector:
             """
             kct, cmb, bsz2 = weights.shape
             n2v = pert.shape[2]
-            pad = jnp.zeros((bsz2, n2v - cmb * plen), dtype=jnp.int64)
             pert_t = pert.transpose(1, 2, 0)
             out = []
             for k in range(kct):
-                wp = (payloads[None, :, :] * weights[k][:, :, None]) % idx_p
-                centred = jnp.where(wp < half_p, wp, q2 - idx_p + wp)
-                plain = jnp.concatenate(
-                    [centred[c] for c in range(cmb)] + [pad], axis=1
+                plain = payload_plain_device(
+                    payloads, weights[k], plen, n2v, idx_p, q2
                 )
                 pn = ntt2.fwd(plain.T)
                 prod = f2.mul(pert_t, pn[None])
@@ -306,6 +332,50 @@ class Detector:
 
         self._encode_pay_chunk_jit = jax.jit(
             encode_pay_chunk, static_argnums=(4,)
+        )
+
+        def encode_idx_scan(pert, base_addr, idx, acc, nd, segs, chunk):
+            """Whole-digest index encoder as ONE device program.
+
+            lax.scan over chunk-sized blocks of the (device-resident)
+            pertinency stack — replaces the per-chunk host round trip
+            (bucket draw + dispatch every 2048 messages) of the chunked
+            path; bucket draws arrive pre-generated for the whole run.
+            """
+            nc = pert.shape[0] // chunk
+            pr = pert.reshape((nc, chunk) + pert.shape[1:])
+            ba = base_addr.reshape(nc, chunk, segs)
+            ix = idx.reshape(nc, chunk)
+
+            def body(carry, xs):
+                p, b, i = xs
+                return encode_idx_chunk(p, b, i, carry, nd, segs), None
+
+            out, _ = jax.lax.scan(body, acc, (pr, ba, ix))
+            return out
+
+        self._encode_idx_scan_jit = jax.jit(
+            encode_idx_scan, static_argnums=(4, 5, 6)
+        )
+
+        def encode_pay_scan(pert, payloads, weights, accs, plen, chunk):
+            """Whole-digest payload encoder as ONE device program (all
+            combination ciphertexts; payload bytes upload once as int16)."""
+            nc = pert.shape[0] // chunk
+            pr = pert.reshape((nc, chunk) + pert.shape[1:])
+            pl = payloads.astype(jnp.int64).reshape(nc, chunk, -1)
+            wt = weights.reshape(weights.shape[0], weights.shape[1], nc, chunk)
+            wt = wt.transpose(2, 0, 1, 3)  # (nc, kct, cmb, chunk)
+
+            def body(carry, xs):
+                p, pay, w = xs
+                return encode_pay_chunk(p, pay, w, carry, plen), None
+
+            out, _ = jax.lax.scan(body, accs, (pr, pl, wt))
+            return out
+
+        self._encode_pay_scan_jit = jax.jit(
+            encode_pay_scan, static_argnums=(4, 5)
         )
 
     # --------------------------------------------------------------- detect
@@ -414,22 +484,36 @@ class Detector:
         n2 = rp.polynomial_size
         total = pertinency.shape[0]
         acc = jnp.zeros((2, n2), dtype=jnp.int64)
-        for s in range(0, total, chunk):
-            c = min(chunk, total - s)
-            buckets = rng.integers(
-                0, rp.bucket_count_per_segment,
-                size=(c, rp.segment_per_cipher), dtype=np.int64,
+        # all bucket draws up front (identical numpy stream to per-chunk
+        # draws: Generator.integers consumes bits in element order), so the
+        # encode loop is ONE scan dispatch instead of a host round trip per
+        # 2048 messages
+        buckets = rng.integers(
+            0, rp.bucket_count_per_segment,
+            size=(total, rp.segment_per_cipher), dtype=np.int64,
+        )
+        base_addr = (
+            np.arange(rp.segment_per_cipher, dtype=np.int64)[None, :]
+            * rp.slots_per_segment
+            + buckets * rp.slots_per_bucket
+        )
+        idx = np.arange(total, dtype=np.int64)
+        main = (total // chunk) * chunk
+        if main:
+            acc = self._encode_idx_scan_jit(
+                pertinency[:main],
+                jnp.asarray(base_addr[:main]),
+                jnp.asarray(idx[:main]),
+                acc,
+                rp.index_slots_per_bucket,
+                rp.segment_per_cipher,
+                chunk,
             )
-            base_addr = (
-                np.arange(rp.segment_per_cipher, dtype=np.int64)[None, :]
-                * rp.slots_per_segment
-                + buckets * rp.slots_per_bucket
-            )
-            idx = np.arange(s, s + c, dtype=np.int64)
+        if main != total:  # ragged tail: one chunk call
             acc = self._encode_idx_chunk_jit(
-                pertinency[s : s + c],
-                jnp.asarray(base_addr),
-                jnp.asarray(idx),
+                pertinency[main:],
+                jnp.asarray(base_addr[main:]),
+                jnp.asarray(idx[main:]),
                 acc,
                 rp.index_slots_per_bucket,
                 rp.segment_per_cipher,
@@ -483,12 +567,22 @@ class Detector:
         weights = sample_weights(rp, seed)
         w_all = weights.reshape(rp.cmb_cipher_count, rp.cmb_count_per_cipher, -1)
         accs = jnp.zeros((rp.cmb_cipher_count, 2, n2), dtype=jnp.int64)
-        for s in range(0, total, chunk):
-            c = min(chunk, total - s)
+        main = (total // chunk) * chunk
+        if main:
+            # payload bytes (< 256) ship once as int16 (4x smaller upload)
+            accs = self._encode_pay_scan_jit(
+                pertinency[:main],
+                jnp.asarray(np.asarray(payloads[:main], dtype=np.int16)),
+                jnp.asarray(w_all[:, :, :main]),
+                accs,
+                rp.payload_length,
+                chunk,
+            )
+        if main != total:
             accs = self._encode_pay_chunk_jit(
-                pertinency[s : s + c],
-                jnp.asarray(payloads[s : s + c].astype(np.int64)),
-                jnp.asarray(w_all[:, :, s : s + c]),
+                pertinency[main:],
+                jnp.asarray(payloads[main:].astype(np.int64)),
+                jnp.asarray(w_all[:, :, main:]),
                 accs,
                 rp.payload_length,
             )

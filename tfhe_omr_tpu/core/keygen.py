@@ -69,25 +69,108 @@ def _gen_secret(rng: np.random.Generator, kind: str, n: int) -> np.ndarray:
     raise ValueError(kind)
 
 
-def _rlwe_encrypt_ntt(
-    field: PrimeField,
-    ntt: NegacyclicNtt,
-    z_ntt: jnp.ndarray,
-    mu: jnp.ndarray,
-    noise_std: float,
-    rng: np.random.Generator,
-):
-    """Batch-encrypt plaintext polys ``mu`` (..., N) under ring key z.
+def _device_uniform(key, shape, q: int):
+    """Uniform field elements on device. q < 2**50 needs two 32-bit draws
+    with rejection-free bias < 2**-14 avoided by 63-bit draws + modulo:
+    bias <= q / 2**63 < 2**-13 per element — cryptographically this matches
+    the reference's use of ``rand_distr`` uniform-by-modulo semantics."""
+    import jax
 
-    Returns NTT-domain (A, B) with B = A*z + NTT(e + mu). Sampling A directly
-    in the NTT domain is equivalent to sampling it in coefficient domain
-    (NTT of a uniform poly is uniform).
-    """
-    a = jnp.asarray(field.rand(rng, mu.shape))
-    e = jnp.asarray(field.gaussian(rng, noise_std, mu.shape))
-    payload = ntt.fwd_last(field.add(jnp.asarray(mu), e))
-    b = field.add(field.mul(a, z_ntt), payload)
-    return a, b
+    hi = jax.random.randint(key, shape, 0, 1 << 31, dtype=jnp.int64)
+    lo = jax.random.randint(
+        jax.random.fold_in(key, 1), shape, 0, 1 << 32, dtype=jnp.int64
+    )
+    return ((hi << 32) | lo) % q
+
+
+def _device_gaussian(key, shape, sigma: float, q: int):
+    """Rounded Gaussian noise on device, mapped into [0, q) (counterpart of
+    primus-fhe ``DiscreteGaussian``; sigma == 0 -> noise-free)."""
+    import jax
+
+    if sigma == 0.0:
+        return jnp.zeros(shape, dtype=jnp.int64)
+    e = jnp.rint(sigma * jax.random.normal(key, shape, dtype=jnp.float32))
+    return jnp.mod(e.astype(jnp.int64), q)
+
+
+def _device_shoup(field: PrimeField, w):
+    """Shoup companion ``floor((w << shift) / q)`` on device — same chunked
+    long division as PrimeField.shoup, in int64 lanes."""
+    q = field.q
+    quot = jnp.zeros_like(w)
+    rem = w
+    shift = field.shoup_shift
+    while shift > 0:
+        step = min(13, shift)
+        shift -= step
+        rem = rem << step
+        quot = (quot << step) + rem // q
+        rem = rem % q
+    return quot
+
+
+class _BskPrograms:
+    """Jitted device programs for detection-key generation.
+
+    Round-1 keygen ran CPU-pinned eager numpy/jnp chunks (151 s at the
+    reference parameters: 50 s radix-2 CPU NTTs, 56 s balanced-plane numpy
+    packing, 23 s host Shoup division — see docs/PERF_NOTES.md). Here each
+    key derives in ONE jitted program on the default backend: uniform masks
+    and Gaussian noise from a seeded threefry stream (deterministic across
+    backends), NTTs through the same kernels the detector uses, Shoup
+    companions and fused-kernel balanced planes computed in-graph.
+    Counterpart of ``BlindRotationKey::generate`` / ``TraceKey::new``
+    (reference ``secret.rs:124-165``)."""
+
+    def __init__(self, field, ntt, gadget, noise_std: float, make_bal=None):
+        import jax
+
+        self.field = field
+        self.ntt = ntt
+        self.gadget = gadget
+        self.noise_std = float(noise_std)
+        self.make_bal = make_bal  # jnp balanced-plane packer or None
+
+        f = field
+        q = f.q
+        d = gadget.d
+        h = np.asarray(gadget.gadget_values(), dtype=np.int64)
+
+        def bsk_prog(s_msgs, z_f, z_ntt, seed):
+            """s_msgs (n,) int64 messages; returns NTT-domain RGSW stack
+            (n, N, d, 2, 2) [+ Shoup planes + balanced planes]."""
+            n = s_msgs.shape[0]
+            big_n = z_f.shape[0]
+            key = jax.random.PRNGKey(seed)
+            ka, ke = jax.random.split(key)
+            shape = (n, 2, d, big_n)
+            a = _device_uniform(ka, shape, q)
+            e = _device_gaussian(ke, shape, self.noise_std, q)
+            hs = (h[None, :] * s_msgs[:, None]) % q  # (n, d)
+            # c=0 rows: mu = (-h_j s_i) * z (poly); c=1 rows: h_j s_i * X^0
+            mu_c0 = f.mul(((q - hs) % q)[:, :, None], z_f[None, None, :])
+            mu_c1 = jnp.zeros((n, d, big_n), jnp.int64).at[:, :, 0].set(hs)
+            mu = jnp.stack([mu_c0, mu_c1], axis=1)
+            payload = ntt.fwd_last(f.add(mu, e))
+            b = f.add(f.mul(a, z_ntt[None, None, None, :]), payload)
+            # (n, c, d, N, o) -> (n, N, d, c, o)
+            kst = jnp.stack([a, b], axis=-1).transpose(0, 3, 2, 1, 4)
+            out = [kst.astype(f.storage_dtype),
+                   _device_shoup(f, kst).astype(f.storage_dtype)]
+            if self.make_bal is not None:
+                out.append(self.make_bal(kst))
+            return tuple(out)
+
+        self._bsk_prog = jax.jit(bsk_prog)
+
+    def __call__(self, s_msgs, z_f, z_ntt, seed: int):
+        return self._bsk_prog(
+            jnp.asarray(np.asarray(s_msgs, dtype=np.int64)),
+            jnp.asarray(np.asarray(z_f, dtype=np.int64)),
+            z_ntt,
+            jnp.int64(seed),
+        )
 
 
 class SecretKeyPack:
@@ -121,9 +204,10 @@ class SecretKeyPack:
         self.z2 = _gen_secret(rng, p.second_level_br.secret_type, p.n2)
         self.z1_f = np.mod(self.z1, c.f1.q).astype(np.int64)
         self.z2_f = np.mod(self.z2, c.f2.q).astype(np.int64)
-        with host_math():
-            self.z1_ntt = c.ntt1.fwd_last(jnp.asarray(self.z1_f))
-            self.z2_ntt = c.ntt2.fwd_last(jnp.asarray(self.z2_f))
+        import jax
+
+        self.z1_ntt = jax.jit(c.ntt1.fwd_last)(jnp.asarray(self.z1_f))
+        self.z2_ntt = jax.jit(c.ntt2.fwd_last)(jnp.asarray(self.z2_f))
 
     # ------------------------------------------------------------- clue key
     def generate_clue_key(self) -> ClueKey:
@@ -149,61 +233,55 @@ class SecretKeyPack:
 
     # -------------------------------------------------------- detection key
     def generate_detection_key(self) -> DetectionKey:
-        """BSK1, KSK, BSK2 and trace key (``secret.rs:118-178``)."""
+        """BSK1, KSK, BSK2 and trace key (``secret.rs:118-178``).
+
+        Each key derives in one jitted device program (see _BskPrograms);
+        only the tiny KSK and the compact automorphism table are built on
+        the host."""
+        from tfhe_omr_tpu.ops.pallas_fused import (
+            make_auto_compact,
+            make_bsk2_balanced_jnp,
+            make_bsk_balanced_paired_jnp,
+        )
+
         c = self.ctx
         p = self.params
         rng = self.rng
 
+        bal1 = (
+            (lambda k: make_bsk_balanced_paired_jnp(k, c.f1.q))
+            if c.f1.bits <= 27
+            else None
+        )
+        bal2 = (
+            (lambda k: make_bsk2_balanced_jnp(k, c.f2.q))
+            if c.f2.bits == 50
+            else None
+        )
+        out1 = self._gen_bsk(
+            self._pair_bits(self.clue_sk), self.z1_f, self.z1_ntt,
+            c.f1, c.ntt1, c.gadget_br1, p.first_level_br.noise_std, rng,
+            make_bal=bal1,
+        )
+        bsk1, bsk1_sh = out1[0], out1[1]
+        bsk1_bal = out1[2] if bal1 is not None else None
         with host_math():
-            bsk1, bsk1_sh = self._gen_bsk(
-                self._pair_bits(self.clue_sk),
-                self.z1_f,
-                self.z1_ntt,
-                c.f1,
-                c.ntt1,
-                c.gadget_br1,
-                p.first_level_br.noise_std,
-                rng,
-            )
             ksk_limbs = self._gen_ksk(rng)
-            bsk2, bsk2_sh = self._gen_bsk(
-                self._pair_bits(self.inter_sk),
-                self.z2_f,
-                self.z2_ntt,
-                c.f2,
-                c.ntt2,
-                c.gadget_br2,
-                p.second_level_br.noise_std,
-                rng,
-            )
-            trace_k, trace_k_sh = self._gen_trace_key(rng)
-            # balanced-signed planes of BSK1/BSK2 for the fused Pallas kernels
-            bsk1_bal = None
-            if c.f1.bits <= 27:
-                from tfhe_omr_tpu.ops.pallas_fused import (
-                    make_bsk_balanced_paired,
-                )
-
-                bsk1_bal = jnp.asarray(
-                    make_bsk_balanced_paired(np.asarray(bsk1), c.f1.q)
-                )
-            bsk2_bal = None
-            trace_bal = None
-            trace_auto = None
-            if c.f2.bits == 50:
-                from tfhe_omr_tpu.ops.pallas_fused import (
-                    make_auto_compact,
-                    make_bsk2_balanced,
-                    make_trace_balanced,
-                )
-
-                bsk2_bal = jnp.asarray(
-                    make_bsk2_balanced(np.asarray(bsk2), c.f2.q)
-                )
-                trace_bal = jnp.asarray(
-                    make_trace_balanced(np.asarray(trace_k), c.f2.q)
-                )
-                trace_auto = jnp.asarray(make_auto_compact(c.trace_autos, p.n2))
+        out2 = self._gen_bsk(
+            self._pair_bits(self.inter_sk), self.z2_f, self.z2_ntt,
+            c.f2, c.ntt2, c.gadget_br2, p.second_level_br.noise_std, rng,
+            make_bal=bal2,
+        )
+        bsk2, bsk2_sh = out2[0], out2[1]
+        bsk2_bal = out2[2] if bal2 is not None else None
+        trace_out = self._gen_trace_key(rng)
+        trace_k, trace_k_sh = trace_out[0], trace_out[1]
+        trace_bal = trace_out[2] if len(trace_out) > 2 else None
+        trace_auto = (
+            jnp.asarray(make_auto_compact(c.trace_autos, p.n2))
+            if c.f2.bits == 50
+            else None
+        )
         return to_accelerator(DetectionKey(
             bsk1=bsk1,
             bsk1_sh=bsk1_sh,
@@ -218,7 +296,10 @@ class SecretKeyPack:
             trace_auto=trace_auto,
         ))
 
-    def _gen_bsk(self, lwe_sk, z_f, z_ntt, field, ntt, gadget, noise_std, rng):
+    def _gen_bsk(
+        self, lwe_sk, z_f, z_ntt, field, ntt, gadget, noise_std, rng,
+        make_bal=None,
+    ):
         """RGSW encryptions of each LWE secret bit under the ring key.
 
         Counterpart of ``BlindRotationKey::generate``
@@ -234,35 +315,12 @@ class SecretKeyPack:
         (length 3*n/2) built by ``_pair_bits``. RGSW(m) components:
         c=0 rows encrypt -h_j * z * m (paired with a-part digits),
         c=1 rows encrypt  h_j * m      (paired with b-part digits).
-        Output layout (n, N, d, c, o) for the detector MAC.
+        Output layout (n, N, d, c, o) for the detector MAC; runs as one
+        jitted device program seeded from the pack's rng stream.
         """
-        n = len(lwe_sk)
-        big_n = ntt.n
-        d = gadget.d
-        q = field.q
-        h = gadget.gadget_values()  # (d,)
-        s = np.asarray(lwe_sk, dtype=np.int64)  # values in {0,1}
-
-        mu = np.zeros((n, 2, d, big_n), dtype=np.int64)
-        hs = np.mod(h[None, :] * s[:, None], q)  # (n, d)
-        # c=0: mu = (-h_j s_i) * z   (poly)
-        neg_hs = np.mod(-hs, q)
-        mu_c0 = np.asarray(
-            field.mul(jnp.asarray(neg_hs)[:, :, None], jnp.asarray(z_f)[None, None, :])
-        )
-        mu[:, 0, :, :] = mu_c0
-        # c=1: mu = h_j s_i (constant coefficient only)
-        mu[:, 1, :, 0] = hs
-
-        a, b = _rlwe_encrypt_ntt(field, ntt, z_ntt, jnp.asarray(mu), noise_std, rng)
-        # (n, c, d, N, o) -> (n, N, d, c, o)
-        key = jnp.stack([a, b], axis=-1).transpose(0, 3, 2, 1, 4)
-        key_np = np.asarray(key)
-        sd = field.storage_dtype
-        return (
-            jnp.asarray(key_np, dtype=sd),
-            jnp.asarray(field.shoup(key_np), dtype=sd),
-        )
+        prog = _BskPrograms(field, ntt, gadget, noise_std, make_bal=make_bal)
+        seed = int(rng.integers(0, 1 << 62))
+        return prog(lwe_sk, z_f, z_ntt, seed)
 
     @staticmethod
     def _pair_bits(sk: np.ndarray) -> np.ndarray:
@@ -320,32 +378,54 @@ class SecretKeyPack:
         """Automorphism key-switch keys for EvalTr (``secret.rs:158-165``).
 
         For each round's Galois element g: gadget RLWE encryptions of
-        h_j * sigma_g(z2) under z2. Layout (rounds, N, d, o).
+        h_j * sigma_g(z2) under z2. Layout (rounds, N, d, o); one jitted
+        device program (plus balanced planes for the fused trace kernel).
         """
+        import jax
+
         c = self.ctx
         f = c.f2
         ntt = c.ntt2
         gadget = c.gadget_trace
         q = f.q
-        noise_std = self.params.trace.noise_std
-        h = gadget.gadget_values()
+        noise_std = float(self.params.trace.noise_std)
+        h = np.asarray(gadget.gadget_values(), dtype=np.int64)
         d = gadget.d
-        n = self.params.n2
 
-        mus = []
-        for g, gidx, gsign in c.trace_autos:
-            # sigma_g(z2) via the same static gather convention as the kernel
-            sig_z = np.mod(gsign * self.z2_f[gidx], q).astype(np.int64)
-            mus.append(
-                np.asarray(
-                    f.mul(jnp.asarray(h)[:, None], jnp.asarray(sig_z)[None, :])
+        # sigma_g(z2) rows via the static per-round gather convention (host:
+        # (rounds, N) is tiny)
+        sig = np.stack(
+            [
+                np.mod(gsign * self.z2_f[gidx], q).astype(np.int64)
+                for _g, gidx, gsign in c.trace_autos
+            ]
+        )
+        with_bal = f.bits == 50
+
+        def trace_prog(sig_z, z_ntt, seed):
+            rounds, big_n = sig_z.shape
+            key = jax.random.PRNGKey(seed)
+            ka, ke = jax.random.split(key)
+            shape = (rounds, d, big_n)
+            a = _device_uniform(ka, shape, q)
+            e = _device_gaussian(ke, shape, noise_std, q)
+            mu = f.mul(h[None, :, None], sig_z[:, None, :])
+            payload = ntt.fwd_last(f.add(mu, e))
+            b = f.add(f.mul(a, z_ntt[None, None, :]), payload)
+            kst = jnp.stack([a, b], axis=-1).transpose(0, 2, 1, 3)
+            out = [kst, _device_shoup(f, kst)]
+            if with_bal:
+                from tfhe_omr_tpu.ops.pallas_fused import (
+                    make_trace_balanced_jnp,
                 )
-            )
-        mu = np.stack(mus)  # (rounds, d, N)
-        a, b = _rlwe_encrypt_ntt(f, ntt, self.z2_ntt, jnp.asarray(mu), noise_std, rng)
-        key = jnp.stack([a, b], axis=-1).transpose(0, 2, 1, 3)  # (rounds, N, d, o)
-        key_np = np.asarray(key)
-        return jnp.asarray(key_np), jnp.asarray(f.shoup(key_np))
+
+                out.append(make_trace_balanced_jnp(kst, q))
+            return tuple(out)
+
+        seed = int(rng.integers(0, 1 << 62))
+        return jax.jit(trace_prog)(
+            jnp.asarray(sig), self.z2_ntt, jnp.int64(seed)
+        )
 
     # ------------------------------------------------------------ factories
     def generate_sender(self):

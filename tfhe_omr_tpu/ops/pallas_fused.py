@@ -91,6 +91,65 @@ def make_bsk_balanced_paired(bsk_int: np.ndarray, q: int) -> np.ndarray:
     return out
 
 
+def make_bsk_balanced_paired_jnp(kst, q: int):
+    """In-graph (jnp) twin of :func:`make_bsk_balanced_paired` — same values,
+    runs on the keygen device program instead of host numpy."""
+    rows, n, d, c2, o2 = kst.shape
+    assert rows % 3 == 0
+    n_steps = rows // 3
+    kb = kst.astype(jnp.int64)
+    kb = kb - q * (kb > q // 2)
+    hi = (kb + (1 << 13)) >> 14
+    lo = kb - (hi << 14)
+    planes = jnp.stack([lo, hi], axis=2)  # (3*n_steps, N, 2, d, 2, 2)
+    tstr = 2 * d * c2 * o2
+    planes = planes.reshape(n_steps, 3, n, tstr)
+    planes = planes.transpose(0, 2, 1, 3).reshape(n_steps, n, 3 * tstr)
+    width = -(-(3 * tstr) // 128) * 128
+    out = jnp.zeros((n_steps, n, width), dtype=jnp.int16)
+    return out.at[..., : 3 * tstr].set(planes.astype(jnp.int16))
+
+
+def make_bsk2_balanced_jnp(kst, q: int):
+    """In-graph twin of :func:`make_bsk2_balanced` (same values)."""
+    rows, n, d, c2, o2 = kst.shape
+    assert rows % 3 == 0
+    n_steps = rows // 3
+    kb = kst.astype(jnp.int64)
+    kb = kb - q * (kb > q // 2)
+    planes = []
+    r = kb
+    for _ in range(3):
+        v = ((r + (1 << 12)) & 8191) - (1 << 12)
+        planes.append(v)
+        r = (r - v) >> 13
+    planes.append(r)
+    p = jnp.stack(planes, axis=0)  # (4, 3*n_steps, N, d, 2, 2)
+    p = p.reshape(4, n_steps, 3, n, d, 2, 2)
+    p = p.transpose(1, 4, 5, 3, 0, 2, 6).reshape(n_steps, 2 * d, n, 24)
+    out = jnp.zeros((n_steps, 2 * d, n, 32), dtype=jnp.int16)
+    return out.at[..., :24].set(p.astype(jnp.int16))
+
+
+def make_trace_balanced_jnp(tk, q: int):
+    """In-graph twin of :func:`make_trace_balanced` (same values)."""
+    rounds, n, d, o2 = tk.shape
+    kb = tk.astype(jnp.int64)
+    kb = kb - q * (kb > q // 2)
+    planes = []
+    r = kb
+    for _ in range(3):
+        v = ((r + (1 << 12)) & 8191) - (1 << 12)
+        planes.append(v)
+        r = (r - v) >> 13
+    planes.append(r)
+    p = jnp.stack(planes, axis=0)  # (4, rounds, N, d, 2)
+    p = p.transpose(1, 3, 2, 0, 4).reshape(rounds, d, n, 8)
+    d_pad = d + (d % 2)
+    out = jnp.zeros((rounds, d_pad, n, 16), dtype=jnp.int16)
+    return out.at[:, :d, :, :8].set(p.astype(jnp.int16))
+
+
 class FusedBlindRotateL1:
     """blind_rotate(acc, p1, p2, bsk_bal) as one Pallas kernel (q < 2**27).
 
