@@ -67,19 +67,20 @@ def main():
                                                 chunk=bsz)
     jax.block_until_ready((idx_ct, pay_cts))
 
-    if pid == 0:
-        # pv is sharded across processes; fetch it via a fully-replicated
-        # copy (allgather by resharding)
-        from jax.sharding import NamedSharding, PartitionSpec as P
+    # pv is sharded across processes — allgather to host on every process
+    # (collective); the digest cts are fully replicated, so the local shard
+    # IS the global value
+    from jax.experimental import multihost_utils
 
-        pv_rep = jax.device_put(pv, NamedSharding(mesh, P()))
+    pv_np = multihost_utils.process_allgather(pv, tiled=True)
+    if pid == 0:
         np.savez(
             out_path,
-            pv=np.asarray(pv_rep),
-            idx_ct=np.asarray(idx_ct),
-            pay_cts=np.asarray(pay_cts),
+            pv=pv_np,
+            idx_ct=np.asarray(idx_ct.addressable_data(0)),
+            pay_cts=np.asarray(pay_cts.addressable_data(0)),
         )
-    jax.effects_barrier()
+    multihost_utils.sync_global_devices("done")
 
 
 if __name__ == "__main__":

@@ -34,6 +34,10 @@ def test_two_process_sharded_digest(tmp_path):
         for k, v in os.environ.items()
         if not k.startswith(("XLA_FLAGS", "JAX_PLATFORMS"))
     }
+    # both workers must compile at the same pace: a shared persistent
+    # compile cache can make one process fast and the other slow, tripping
+    # gloo's 30 s collective-init timeout
+    env["TFHE_OMR_NO_COMPILE_CACHE"] = "1"
     procs = [
         subprocess.Popen(
             [sys.executable, worker, coordinator, "2", str(pid), str(out)],

@@ -43,11 +43,13 @@ class ShardedDetector:
         self.axis = axis_name
         self.n_dev = mesh.devices.size
         f2 = detector.ctx.f2
+        self._multiproc = jax.process_count() > 1
         # replicate the (read-only) detection key across the mesh — the TPU
-        # equivalent of rayon threads sharing the key by reference
-        self.key = jax.device_put(
-            detector.key, NamedSharding(mesh, P())
-        )
+        # equivalent of rayon threads sharing the key by reference. In a
+        # multi-controller run every process derived the same key from the
+        # same seed, so the global array is assembled from local host copies
+        # (cross-host device transfers are not available on all backends).
+        self.key = jax.tree_util.tree_map(self._replicate, detector.key)
         self._enc_cache = {}
 
         self._detect_sharded = jax.jit(
@@ -86,9 +88,34 @@ class ShardedDetector:
         d = self.n_dev
         return -(-count // d) * d
 
+    def _replicate(self, x):
+        if x is None:
+            return None
+        sh = NamedSharding(self.mesh, P())
+        if not self._multiproc:
+            return jax.device_put(x, sh)
+        xh = np.asarray(x)
+        return jax.make_array_from_callback(xh.shape, sh, lambda idx: xh[idx])
+
     def _shard(self, x):
+        sh = NamedSharding(self.mesh, P(self.axis))
+        if not self._multiproc:
+            return jax.device_put(jnp.asarray(x), sh)
+        xh = np.asarray(x)
+        return jax.make_array_from_callback(xh.shape, sh, lambda idx: xh[idx])
+
+    def _shard_pert(self, pert):
+        """Commit a pertinency stack to the data-axis sharding. Accepts a
+        single-device array (resharded) or, in multi-controller runs, a
+        global array already produced by ``detect``."""
+        if self._multiproc:
+            assert isinstance(pert, jax.Array) and len(pert.sharding.device_set) > 1, (
+                "multi-process encoders need the global pertinency array "
+                "from ShardedDetector.detect"
+            )
+            return pert
         return jax.device_put(
-            jnp.asarray(x), NamedSharding(self.mesh, P(self.axis))
+            jnp.asarray(pert), NamedSharding(self.mesh, P(self.axis))
         )
 
     def detect(self, clues: ClueBatch) -> jnp.ndarray:
@@ -115,9 +142,12 @@ class ShardedDetector:
         )
 
     # ------------------------------------------------- full digest encoders
-    def _idx_chunk_fn(self, nd: int, segs: int):
-        """Sharded twin of Detector's encode_idx_chunk (cached per layout)."""
-        key = ("idx", nd, segs)
+    def _idx_scan_fn(self, nd: int, segs: int, chunk: int):
+        """Whole-digest sharded index encoder: ONE jitted shard_map program
+        that scans chunk-sized blocks of the LOCAL pertinency shard and
+        psums the per-shard partial sums once at the end (the collective
+        replacing the rayon tree-reduce, reference detector.rs:333-336)."""
+        key = ("idx", nd, segs, chunk)
         fn = self._enc_cache.get(key)
         if fn is not None:
             return fn
@@ -131,21 +161,40 @@ class ShardedDetector:
         axis = self.axis
         nbits = f2.bits + self.n_dev.bit_length() + 1
 
-        def chunk(pert, base_addr, idx, acc):
-            poly = index_poly_device(
-                base_addr, idx, nd, segs, pert.shape[2], idx_p, q2
-            )
-            pn = ntt2.fwd(poly.T)
-            prod = f2.mul(pert.transpose(1, 2, 0), pn[None])
-            local = f2.mod_sum(prod, axis=2)
-            total = f2.reduce(jax.lax.psum(local, axis), nbits)
-            return f2.add(acc, total)
+        def encode(pert, base_addr, idx):
+            t_loc = pert.shape[0]
+            n2v = pert.shape[2]
+            cl = min(chunk, t_loc)
+            pad = (-t_loc) % cl
+            if pad:
+                pert = jnp.concatenate(
+                    [pert, jnp.zeros((pad,) + pert.shape[1:], pert.dtype)]
+                )
+                base_addr = jnp.concatenate(
+                    [base_addr, jnp.zeros((pad, segs), base_addr.dtype)]
+                )
+                idx = jnp.concatenate([idx, jnp.zeros((pad,), idx.dtype)])
+            nc = pert.shape[0] // cl
+            pr = pert.reshape((nc, cl) + pert.shape[1:])
+            ba = base_addr.reshape(nc, cl, segs)
+            ix = idx.reshape(nc, cl)
+
+            def body(acc, xs):
+                p, b, i = xs
+                poly = index_poly_device(b, i, nd, segs, n2v, idx_p, q2)
+                pn = ntt2.fwd(poly.T)
+                prod = f2.mul(p.transpose(1, 2, 0), pn[None])
+                return f2.add(acc, f2.mod_sum(prod, axis=2)), None
+
+            acc0 = jnp.zeros((2, n2v), dtype=jnp.int64)
+            local, _ = jax.lax.scan(body, acc0, (pr, ba, ix))
+            return f2.reduce(jax.lax.psum(local, axis), nbits)
 
         fn = jax.jit(
             shard_map(
-                chunk,
+                encode,
                 mesh=self.mesh,
-                in_specs=(P(self.axis), P(self.axis), P(self.axis), P()),
+                in_specs=(P(self.axis), P(self.axis), P(self.axis)),
                 out_specs=P(),
                 check_rep=False,
             )
@@ -153,8 +202,8 @@ class ShardedDetector:
         self._enc_cache[key] = fn
         return fn
 
-    def _pay_chunk_fn(self, kct: int, cmb: int, plen: int):
-        key = ("pay", kct, cmb, plen)
+    def _pay_scan_fn(self, kct: int, cmb: int, plen: int, chunk: int):
+        key = ("pay", kct, cmb, plen, chunk)
         fn = self._enc_cache.get(key)
         if fn is not None:
             return fn
@@ -168,29 +217,54 @@ class ShardedDetector:
         axis = self.axis
         nbits = f2.bits + self.n_dev.bit_length() + 1
 
-        def chunk(pert, payloads, weights, accs):
-            pert_t = pert.transpose(1, 2, 0)
-            out = []
-            for k in range(kct):
-                plain = payload_plain_device(
-                    payloads, weights[k], plen, pert.shape[2], idx_p, q2
+        def encode(pert, payloads, weights):
+            t_loc = pert.shape[0]
+            n2v = pert.shape[2]
+            cl = min(chunk, t_loc)
+            pad = (-t_loc) % cl
+            if pad:
+                pert = jnp.concatenate(
+                    [pert, jnp.zeros((pad,) + pert.shape[1:], pert.dtype)]
                 )
-                pn = ntt2.fwd(plain.T)
-                prod = f2.mul(pert_t, pn[None])
-                local = f2.mod_sum(prod, axis=2)
-                total = f2.reduce(jax.lax.psum(local, axis), nbits)
-                out.append(f2.add(accs[k], total))
-            return jnp.stack(out)
+                payloads = jnp.concatenate(
+                    [payloads,
+                     jnp.zeros((pad, payloads.shape[1]), payloads.dtype)]
+                )
+                weights = jnp.concatenate(
+                    [weights,
+                     jnp.zeros(weights.shape[:2] + (pad,), weights.dtype)],
+                    axis=2,
+                )
+            nc = pert.shape[0] // cl
+            pr = pert.reshape((nc, cl) + pert.shape[1:])
+            pl = payloads.astype(jnp.int64).reshape(nc, cl, -1)
+            wt = weights.reshape(kct, cmb, nc, cl).transpose(2, 0, 1, 3)
+
+            def body(accs, xs):
+                p, pay, w = xs
+                pert_t = p.transpose(1, 2, 0)
+                out = []
+                for k in range(kct):
+                    plain = payload_plain_device(
+                        pay, w[k], plen, n2v, idx_p, q2
+                    )
+                    pn = ntt2.fwd(plain.T)
+                    prod = f2.mul(pert_t, pn[None])
+                    out.append(f2.add(accs[k], f2.mod_sum(prod, axis=2)))
+                return jnp.stack(out), None
+
+            acc0 = jnp.zeros((kct, 2, n2v), dtype=jnp.int64)
+            local, _ = jax.lax.scan(body, acc0, (pr, pl, wt))
+            return f2.reduce(jax.lax.psum(local, axis), nbits)
 
         fn = jax.jit(
             shard_map(
-                chunk,
+                encode,
                 mesh=self.mesh,
                 in_specs=(
                     P(self.axis),
                     P(self.axis),
                     P(None, None, self.axis),
-                    P(),
                 ),
                 out_specs=P(),
                 check_rep=False,
@@ -199,92 +273,61 @@ class ShardedDetector:
         self._enc_cache[key] = fn
         return fn
 
-    def _pad_pert(self, pert, s: int, c: int, chunk: int):
-        """Chunk rows [s, s+c) of the pertinency stack, zero-padded to the
-        shard-aligned chunk size — a zero pertinency ciphertext contributes
-        exactly zero to the digest MAC, so padding is exact."""
-        block = pert[s : s + c]
-        if c == chunk:
-            return block
-        pad = jnp.zeros((chunk - c,) + tuple(block.shape[1:]), block.dtype)
-        return jnp.concatenate([block, pad], axis=0)
-
     def encode_pertinent_indices(self, retrieval_params, pertinency, rng,
                                  chunk: int = 2048):
         """Sharded twin of ``Detector.encode_pertinent_indices`` — same rng
-        stream, psum digest reduce (reference ``detector.rs:223-339``)."""
+        stream (all bucket draws up front), one shard_map(scan) dispatch,
+        psum digest reduce (reference ``detector.rs:223-339``). The
+        pertinency stack length must be shard-aligned (detect output is)."""
         rp = retrieval_params
-        chunk = self.pad(chunk)
         total = pertinency.shape[0]
-        acc = jnp.zeros((2, rp.polynomial_size), dtype=jnp.int64)
-        fn = self._idx_chunk_fn(
-            rp.index_slots_per_bucket, rp.segment_per_cipher
+        assert total % self.n_dev == 0, (total, self.n_dev)
+        buckets = rng.integers(
+            0, rp.bucket_count_per_segment,
+            size=(total, rp.segment_per_cipher), dtype=np.int64,
         )
-        for s in range(0, total, chunk):
-            c = min(chunk, total - s)
-            buckets = rng.integers(
-                0, rp.bucket_count_per_segment,
-                size=(c, rp.segment_per_cipher), dtype=np.int64,
-            )
-            base_addr = (
-                np.arange(rp.segment_per_cipher, dtype=np.int64)[None, :]
-                * rp.slots_per_segment
-                + buckets * rp.slots_per_bucket
-            )
-            if c != chunk:
-                base_addr = np.concatenate(
-                    [base_addr, np.zeros((chunk - c, base_addr.shape[1]),
-                                         np.int64)]
-                )
-            idx = np.arange(s, s + chunk, dtype=np.int64)
-            acc = fn(
-                self._shard(self._pad_pert(pertinency, s, c, chunk)),
-                self._shard(base_addr),
-                self._shard(idx),
-                acc,
-            )
-        return acc
+        base_addr = (
+            np.arange(rp.segment_per_cipher, dtype=np.int64)[None, :]
+            * rp.slots_per_segment
+            + buckets * rp.slots_per_bucket
+        )
+        idx = np.arange(total, dtype=np.int64)
+        fn = self._idx_scan_fn(
+            rp.index_slots_per_bucket, rp.segment_per_cipher,
+            min(chunk, total),
+        )
+        return fn(self._shard_pert(pertinency), self._shard(base_addr), self._shard(idx))
 
     def encode_pertinent_payloads(self, retrieval_params, pertinency,
                                   payloads, seed, chunk: int = 2048):
         """Sharded twin of ``Detector.encode_pertinent_payloads`` (reference
         ``detector.rs:341-453``); the rayon tree-reduce at ``:445-449``
-        becomes the psum inside the chunk program."""
+        becomes one psum of the per-shard partial sums."""
         from tfhe_omr_tpu.core.detector import sample_weights
 
         rp = retrieval_params
-        chunk = self.pad(chunk)
         total = pertinency.shape[0]
+        assert total % self.n_dev == 0, (total, self.n_dev)
         weights = sample_weights(rp, seed)
         w_all = weights.reshape(
             rp.cmb_cipher_count, rp.cmb_count_per_cipher, -1
         )
-        accs = jnp.zeros(
-            (rp.cmb_cipher_count, 2, rp.polynomial_size), dtype=jnp.int64
+        fn = self._pay_scan_fn(
+            rp.cmb_cipher_count, rp.cmb_count_per_cipher,
+            rp.payload_length, min(chunk, total),
         )
-        fn = self._pay_chunk_fn(
-            rp.cmb_cipher_count, rp.cmb_count_per_cipher, rp.payload_length
+        sh_w = (
+            NamedSharding(self.mesh, P(None, None, self.axis))
         )
-        plen = payloads.shape[1]
-        for s in range(0, total, chunk):
-            c = min(chunk, total - s)
-            pl = np.asarray(payloads[s : s + c], dtype=np.int64)
-            wc = w_all[:, :, s : s + c]
-            if c != chunk:
-                pl = np.concatenate(
-                    [pl, np.zeros((chunk - c, plen), np.int64)]
-                )
-                wc = np.concatenate(
-                    [wc, np.zeros(wc.shape[:2] + (chunk - c,), np.int64)],
-                    axis=2,
-                )
-            accs = fn(
-                self._shard(self._pad_pert(pertinency, s, c, chunk)),
-                self._shard(pl),
-                jax.device_put(
-                    jnp.asarray(wc),
-                    NamedSharding(self.mesh, P(None, None, self.axis)),
-                ),
-                accs,
+        if self._multiproc:
+            wh = np.asarray(w_all)
+            w_dev = jax.make_array_from_callback(
+                wh.shape, sh_w, lambda i: wh[i]
             )
-        return accs
+        else:
+            w_dev = jax.device_put(jnp.asarray(w_all), sh_w)
+        return fn(
+            self._shard_pert(pertinency),
+            self._shard(np.asarray(payloads, dtype=np.int16)),
+            w_dev,
+        )

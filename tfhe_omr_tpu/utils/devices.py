@@ -15,15 +15,17 @@ import jax
 
 
 def cpu_device():
+    # local_devices, not devices: in a multi-controller run jax.devices()
+    # leads with process 0's devices, which are non-addressable elsewhere
     try:
-        return jax.devices("cpu")[0]
+        return jax.local_devices(backend="cpu")[0]
     except RuntimeError:
-        return jax.devices()[0]
+        return jax.local_devices()[0]
 
 
 def accelerator_device():
-    """The default compute device (TPU when present, else CPU)."""
-    return jax.devices()[0]
+    """The default local compute device (TPU when present, else CPU)."""
+    return jax.local_devices()[0]
 
 
 @contextmanager
