@@ -206,8 +206,18 @@ class SecretKeyPack:
         self.z2_f = np.mod(self.z2, c.f2.q).astype(np.int64)
         import jax
 
-        self.z1_ntt = jax.jit(c.ntt1.fwd_last)(jnp.asarray(self.z1_f))
-        self.z2_ntt = jax.jit(c.ntt2.fwd_last)(jnp.asarray(self.z2_f))
+        from tfhe_omr_tpu.utils.devices import accelerator_device, cpu_device
+
+        # the two z NTTs are tiny (one poly each) — jit them on the CPU
+        # backend (a single-poly NTT compiles in ~1 s there vs minutes on a
+        # remote TPU helper) and ship the results to the accelerator, where
+        # the bsk/trace programs consume them
+        with jax.default_device(cpu_device()):
+            z1n = jax.jit(c.ntt1.fwd_last)(jnp.asarray(self.z1_f))
+            z2n = jax.jit(c.ntt2.fwd_last)(jnp.asarray(self.z2_f))
+        dev = accelerator_device()
+        self.z1_ntt = jax.device_put(np.asarray(z1n), dev)
+        self.z2_ntt = jax.device_put(np.asarray(z2n), dev)
 
     # ------------------------------------------------------------- clue key
     def generate_clue_key(self) -> ClueKey:
