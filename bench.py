@@ -145,6 +145,7 @@ def main():
                     },
                     "keygen_seconds": round(keygen_s, 1),
                     "compile_seconds": round(compile_s, 1),
+                    "digest": enc,
                     "device": str(jax.devices()[0]),
                 }
             }
