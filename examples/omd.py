@@ -30,8 +30,15 @@ def main():
 
     import jax
 
+    # the axon TPU plugin re-asserts its platform during import, so the
+    # JAX_PLATFORMS env var alone does not stick — honor it here
+    import os as _os
+
+    env_plat = _os.environ.get("JAX_PLATFORMS")
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
+    elif env_plat and "axon" not in env_plat:
+        jax.config.update("jax_platforms", env_plat)
 
     from tfhe_omr_tpu.core.keygen import SecretKeyPack
     from tfhe_omr_tpu.core.params import OmrParameters
