@@ -10,6 +10,12 @@ Covers: fused == XLA bit-equality at production shapes for both blind-
 rotation levels and the trace (compiled Mosaic, not interpret mode), the omd
 correctness oracle at the reference parameters through the fused kernels,
 and a mini end-to-end round trip — all on the real chip.
+
+Runtime: the three kernel-equality tests take ~20 min on a cold compile
+cache (minutes warm); the omd/round-trip tests compile the batch-128 stage
+programs and can add another 30+ min cold. Run the kernel tests alone with
+``-k bit_identical`` when iterating on kernels. Round-2 hardware record:
+all three kernel-equality tests green on TPU v5e (2026-08-20).
 """
 
 import os
