@@ -50,16 +50,21 @@ def main():
     # device has actually executed (PERF_NOTES.md); the fetch pins the true
     # completion at the cost of one small RTT.
     fetch = os.environ.get("OMR_BENCH_FETCH") == "1"
-    times = []
-    stages = None
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        out, stages = detector.detect_with_time_info(clues)
-        if fetch:
-            np.asarray(out[:1, :1, :8])
-        times.append(time.perf_counter() - t0)
-    best = min(times)
+    # Throughput: `reps` plain detect batches dispatched back-to-back with
+    # one sync at the end — the steady-state streaming shape (production
+    # feeds the next batch while the current one runs; detect_with_time_info
+    # would serialize the three stage programs on host stamps, ~3% slower).
+    t0 = time.perf_counter()
+    outs = [detector.detect(clues) for _ in range(reps)]
+    jax.block_until_ready(outs)
+    if fetch:
+        np.asarray(outs[-1][:1, :1, :8])
+    best = (time.perf_counter() - t0) / reps
     msgs_per_sec = batch / best
+    # Stage split from one separately-timed run (blocks between stages).
+    out, stages = detector.detect_with_time_info(clues)
+    if fetch:
+        np.asarray(out[:1, :1, :8])
 
     # ---- digest encoders + client decode at D-scale (synthetic pertinency
     # stack: timing only needs the shapes; reference baselines at D=65536:
@@ -131,7 +136,7 @@ def main():
             {
                 "detail": {
                     "batch": batch,
-                    "best_batch_seconds": round(best, 3),
+                    "batch_seconds_streaming": round(best, 3),
                     "ms_per_message": round(1000.0 * best / batch, 3),
                     "stage_ms_per_message": {
                         "first_level": round(
