@@ -52,15 +52,21 @@ def main():
     fetch = os.environ.get("OMR_BENCH_FETCH") == "1"
     # Throughput: `reps` plain detect batches dispatched back-to-back with
     # one sync at the end — the steady-state streaming shape (production
-    # feeds the next batch while the current one runs; detect_with_time_info
-    # would serialize the three stage programs on host stamps, ~3% slower).
+    # feeds the next batch while the current one runs). detect_with_time_info
+    # serializes the three stage programs on host stamps; measured cost of
+    # that on the tunneled backend is ~0.1% (4.703 vs 4.708 s/batch,
+    # docs/PERF_NOTES.md round-2 close-out), i.e. the backend already
+    # pipelines the stage dispatches.
     t0 = time.perf_counter()
     outs = [detector.detect(clues) for _ in range(reps)]
     jax.block_until_ready(outs)
     if fetch:
         np.asarray(outs[-1][:1, :1, :8])
-    best = (time.perf_counter() - t0) / reps
-    msgs_per_sec = batch / best
+    # Mean over reps of the streaming batch time. NOTE: round-1 artifacts
+    # recorded "best_batch_seconds" (min-of-N of stage-stamped runs), which
+    # is not directly comparable to this steady-state mean.
+    per_batch_s = (time.perf_counter() - t0) / reps
+    msgs_per_sec = batch / per_batch_s
     # Stage split from one separately-timed run (blocks between stages).
     out, stages = detector.detect_with_time_info(clues)
     if fetch:
@@ -99,23 +105,36 @@ def main():
         np.asarray(pay_cts[:1, :1, :8])
         pay_s = time.perf_counter() - t0
         # client decode (host/C++): one index-ct scan attempt + all payload
-        # ct decrypts (synthetic data never decodes, the work is identical)
-        retr = skp.generate_retriever(d_scale, 50)
+        # ct decrypts + one k x k payload solve (synthetic data never
+        # decodes, the per-stage work is identical). warm() precompiles the
+        # decrypt programs and builds the C++ library first — one-time
+        # setup, excluded exactly as the reference's AOT-compiled client
+        # excludes codegen from its decode timings.
+        retr = skp.generate_retriever(d_scale, 50).warm()
+        from tfhe_omr_tpu.core.matrix import solve_matrix
+
+        rp_r = retr.params
+        sm = enc_rng.integers(
+            0, rp_r.index_modulus,
+            size=(rp_r.combination_count, rp_r.pertinent_count),
+        )
+        srhs = enc_rng.integers(
+            0, rp_r.index_modulus,
+            size=(rp_r.combination_count, rp_r.payload_length),
+        )
         t0 = time.perf_counter()
         retr.decode_pertinent_indices(ct)
         idx_dec_s = time.perf_counter() - t0
         t0 = time.perf_counter()
         retr.decode_combined_payloads(pay_cts)
+        solve_matrix(sm, srhs, int(rp_r.index_modulus))
         pay_dec_s = time.perf_counter() - t0
         enc = {
             "digest_d": d_scale,
             "encode_indices_s_per_ct": round(idx_s, 3),
             "encode_indices_total_s_5ct": round(5 * idx_s, 3),
             "encode_payloads_s": round(pay_s, 3),
-            "decode_s": round(
-                rp.max_encode_indices_cipher_count * 0 + idx_dec_s + pay_dec_s,
-                3,
-            ),
+            "decode_s": round(idx_dec_s + pay_dec_s, 3),
             "ref_baseline_s": {
                 "encode_indices_total": 3.482,
                 "encode_payloads": 24.26,

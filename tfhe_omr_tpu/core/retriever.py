@@ -46,6 +46,30 @@ class Retriever:
 
         self._decrypt_jit = jax.jit(decrypt)
 
+    def warm(self):
+        """Pre-compile the client decrypt programs + build the C++ decoder.
+
+        One-time setup cost, separated from decode latency exactly like the
+        reference's ahead-of-time-compiled Rust client (its ``decode_digest``
+        timings never include codegen): compiles the (2, N) index-ct and
+        (cmb_cipher_count, 2, N) payload-ct decrypt programs on the host
+        backend and triggers the g++ build of the native scan/solve library.
+        """
+        rp = self.params
+        n2 = rp.polynomial_size
+        zero1 = jnp.zeros((2, n2), dtype=jnp.int64)
+        zero2 = jnp.zeros((rp.cmb_cipher_count, 2, n2), dtype=jnp.int64)
+        with host_math():
+            jax.block_until_ready(self._decrypt_jit(zero1))
+            jax.block_until_ready(self._decrypt_jit(zero2))
+        try:
+            from tfhe_omr_tpu.native import get_lib
+
+            get_lib()
+        except ImportError:
+            pass
+        return self
+
     # ------------------------------------------------------------- decoding
     def _round_to_p(self, coeffs: np.ndarray) -> np.ndarray:
         """round_half_up(c * p / q) mod p, exactly (``retriever.rs:79-91``)."""

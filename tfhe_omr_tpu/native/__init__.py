@@ -29,6 +29,7 @@ def _build() -> bool:
         "-march=native",
         "-shared",
         "-fPIC",
+        "-pthread",
         "-o",
         _LIB_PATH,
         _SRC,
