@@ -25,6 +25,10 @@ def main():
     ap.add_argument("--batch", type=int, default=1024)
     args = ap.parse_args()
 
+    def note(k, v):
+        t[k] = v
+        print(f"# {k}: {v}", file=sys.stderr, flush=True)
+
     t = {}
     t_start = time.perf_counter()
     t0 = t_start
@@ -34,24 +38,24 @@ def main():
     from tfhe_omr_tpu.core.keygen import SecretKeyPack
     from tfhe_omr_tpu.core.params import OmrParameters
 
-    t["import_s"] = time.perf_counter() - t0
+    note("import_s", round(time.perf_counter() - t0, 2))
 
     t0 = time.perf_counter()
     params = OmrParameters.default()
     skp = SecretKeyPack(params, rng=0)
-    t["keygen_dispatch_s"] = time.perf_counter() - t0
+    note("keygen_dispatch_s", round(time.perf_counter() - t0, 2))
 
     t0 = time.perf_counter()
     detector = skp.generate_detector()
-    t["detector_build_s"] = time.perf_counter() - t0
+    note("detector_build_s", round(time.perf_counter() - t0, 2))
 
     # force keygen device programs + transfers to finish
     t0 = time.perf_counter()
     key = detector.key
     jax.block_until_ready([a for a in key if a is not None])
-    t["keygen_sync_s"] = time.perf_counter() - t0
+    note("keygen_sync_s", round(time.perf_counter() - t0, 2))
     key_bytes = detector.detect_key_size()
-    t["key_bytes_mb"] = round(key_bytes / 1e6, 1)
+    note("key_bytes_mb", round(key_bytes / 1e6, 1))
 
     sender = skp.generate_sender()
     rng = np.random.default_rng(1)
@@ -64,31 +68,32 @@ def main():
     def aot(name, jitted, *sargs):
         t0 = time.perf_counter()
         lowered = jitted.lower(*sargs)
-        t[f"{name}_lower_s"] = round(time.perf_counter() - t0, 2)
+        note(f"{name}_lower_s", round(time.perf_counter() - t0, 2))
         t0 = time.perf_counter()
         compiled = lowered.compile()
-        t[f"{name}_compile_or_load_s"] = round(time.perf_counter() - t0, 2)
+        note(f"{name}_compile_or_load_s", round(time.perf_counter() - t0, 2))
         t0 = time.perf_counter()
         out = compiled(*sargs)
         jax.block_until_ready(out)
-        t[f"{name}_first_run_s"] = round(time.perf_counter() - t0, 2)
+        note(f"{name}_first_run_s", round(time.perf_counter() - t0, 2))
         t0 = time.perf_counter()
         out = compiled(*sargs)
         jax.block_until_ready(out)
-        t[f"{name}_second_run_s"] = round(time.perf_counter() - t0, 2)
+        note(f"{name}_second_run_s", round(time.perf_counter() - t0, 2))
         return out
 
+    tbl = detector.tables
     ms = aot(
         "stage1", detector._stage1_jit, a_j, b_j, key.bsk1, key.bsk1_sh,
-        key.ksk_limbs, key.bsk1_bal,
+        key.ksk_limbs, key.bsk1_bal, tbl,
     )
     acc2 = aot(
         "stage2", detector._stage2_jit, ms[0], ms[1], key.bsk2, key.bsk2_sh,
-        key.bsk2_bal,
+        key.bsk2_bal, tbl,
     )
     aot(
         "stage3", detector._stage3_jit, acc2, key.trace_k, key.trace_k_sh,
-        key.trace_auto, key.trace_bal,
+        key.trace_auto, key.trace_bal, tbl,
     )
 
     t["total_s"] = round(time.perf_counter() - t_start, 2)

@@ -99,7 +99,7 @@ def test_device_encoders_match_host_plaintext_path():
         c = min(16, count - s)
         plain = detector.build_index_plaintexts(rp, c, rng_b, start_index=s)
         host = detector._encode_chunk_jit(
-            pert[s : s + c], jnp.asarray(plain), host
+            pert[s : s + c], jnp.asarray(plain), host, detector.tables
         )
     np.testing.assert_array_equal(np.asarray(dev), np.asarray(host))
 
@@ -119,6 +119,6 @@ def test_device_encoders_match_host_plaintext_path():
                 rp, payloads[s : s + c], w_all[k][:, s : s + c]
             )
             acc = detector._encode_chunk_jit(
-                pert[s : s + c], jnp.asarray(plain), acc
+                pert[s : s + c], jnp.asarray(plain), acc, detector.tables
             )
         np.testing.assert_array_equal(np.asarray(dev_p[k]), np.asarray(acc))

@@ -30,11 +30,11 @@ def test_pallas27_matches_jnp(pallas27, rng):
     pn = pallas27
     x = jnp.asarray(rng.integers(0, Q1, size=(1024, 8), dtype=np.int64))
     np.testing.assert_array_equal(
-        np.asarray(pn._fwd_call(x.astype(jnp.int32))),
+        np.asarray(pn._fwd_call(x.astype(jnp.int32), *pn.fwd_tables)),
         np.asarray(pn.ref.fwd(x)),
     )
     np.testing.assert_array_equal(
-        np.asarray(pn._inv_call(x.astype(jnp.int32))),
+        np.asarray(pn._inv_call(x.astype(jnp.int32), *pn.inv_tables)),
         np.asarray(pn.ref.inv(x)),
     )
 
@@ -44,18 +44,18 @@ def test_pallas50_matches_twin(pallas50, rng):
     x = jnp.asarray(rng.integers(0, Q2, size=(2048, 2), dtype=np.int64))
     perm = jnp.asarray(pn._perm)
     np.testing.assert_array_equal(
-        np.asarray(pn._fwd_call(x)), np.asarray(pn.ref2.fwd(x)[perm])
+        np.asarray(pn._fwd_call(x, *pn.fwd_tables)), np.asarray(pn.ref2.fwd(x)[perm])
     )
     perm_inv = jnp.asarray(pn._perm_inv)
     np.testing.assert_array_equal(
-        np.asarray(pn._inv_call(x)), np.asarray(pn.ref2.inv(x[perm_inv]))
+        np.asarray(pn._inv_call(x, *pn.inv_tables)), np.asarray(pn.ref2.inv(x[perm_inv]))
     )
 
 
 def test_pallas50_roundtrip(pallas50, rng):
     pn = pallas50
     x = rng.integers(0, Q2, size=(2048, 2), dtype=np.int64)
-    rt = np.asarray(pn._inv_call(pn._fwd_call(jnp.asarray(x))))
+    rt = np.asarray(pn._inv_call(pn._fwd_call(jnp.asarray(x), *pn.fwd_tables), *pn.inv_tables))
     np.testing.assert_array_equal(rt, x)
 
 

@@ -90,7 +90,8 @@ def test_sharded_encode_matches_single(setup):
 
     single = np.asarray(
         detector._encode_chunk_jit(
-            pv, jnp.asarray(plain), jnp.zeros((2, params.n2), dtype=jnp.int64)
+            pv, jnp.asarray(plain),
+            jnp.zeros((2, params.n2), dtype=jnp.int64), detector.tables,
         )
     )
     multi = np.asarray(sharded.encode_chunk(pv, plain))

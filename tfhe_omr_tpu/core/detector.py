@@ -173,8 +173,6 @@ class Detector:
         if can_fused_tr:
             trace_fused = make_fused_trace(f2, ntt2, ctx.gadget_trace)
 
-        lut1_ext = jnp.asarray(ctx.lut1_ext, dtype=f1.storage_dtype)
-        lut2_ext = jnp.asarray(ctx.lut2_ext, dtype=f2.storage_dtype)
         # gather-free LUT rotations (one-hot MXU dots; XLA TPU gathers are
         # element-serial and cost ~0.3 ms/msg each at these shapes)
         from tfhe_omr_tpu.ops.bootstrap import make_init_accumulator
@@ -191,15 +189,45 @@ class Detector:
                 ext_np[ex_idx[ci, j], ci * n0 + j] = (
                     -1 if ex_neg[ci, j] else 1
                 )
-        ext_mat = jnp.asarray(ext_np)
         n2_inv = ctx.f2.inv(n2)
-        n2_inv_j = jnp.int64(n2_inv)
-        n2_inv_sh = jnp.int64(int(f2.shoup(n2_inv)))
+        n2_inv_j = np.int64(n2_inv)
+        n2_inv_sh = np.int64(int(f2.shoup(n2_inv)))
+
+        # ---- table pytree: every big precomputed table rides the stage
+        # programs as a device-resident ARGUMENT. Closing over device
+        # arrays makes tracing fetch them back over the (tunneled) wire at
+        # ~KB/s, and baking them as HLO constants bloats the serialized
+        # executables (stage1 was 38 MB) — both dominated round-2's
+        # 438-1005 s first-detect cold start (docs/PERF_NOTES.md round-3).
+        # jax.jit prunes unused args, so every program takes the whole dict.
+        ntt2_has_tables = hasattr(ntt2, "fwd_tables")
+        host_tables = {
+            "ext": ext_np,
+            "init1": init_acc1.planes,
+            "init2": init_acc2.planes,
+        }
+        if ntt2_has_tables:
+            host_tables["ntt2f"] = tuple(ntt2.fwd_tables)
+        if can_fused:
+            host_tables["l1"] = tuple(br1_fused.kernel.host_tables)
+        if can_fused2:
+            host_tables["l2"] = tuple(br2_fused.kernel.host_tables)
+        if can_fused_tr:
+            host_tables["tr"] = tuple(trace_fused.kernel.host_tables)
+        #: device-resident copies, uploaded ONCE here (uploads are fast;
+        #: it is the reverse direction that is pathological)
+        self.tables = jax.tree_util.tree_map(jax.device_put, host_tables)
+
+        def fwd2(x, tbl):
+            if ntt2_has_tables:
+                return ntt2.fwd(x, tables=tbl["ntt2f"])
+            return ntt2.fwd(x)
 
         assert q0 == 2 * n1, "clue modulus must equal 2*N1"
         assert q_inter == 2 * n2
 
-        def stage1(clue_a, clue_b7, bsk1, bsk1_sh, ksk_limbs, bsk1_bal):
+        def stage1(clue_a, clue_b7, bsk1, bsk1_sh, ksk_limbs, bsk1_bal,
+                   tbl):
             """Extract + first-level bootstrapping + key switch + mod switch.
 
             Counterpart of ``extract_clues_and_modulus_switch`` +
@@ -213,7 +241,7 @@ class Detector:
             pl1 = (clue_a >> 7).astype(jnp.int8)
             dots = [
                 jax.lax.dot_general(
-                    pv, ext_mat, (((1,), (0,)), ((), ())),
+                    pv, tbl["ext"], (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.int32,
                 )
                 for pv in (pl0, pl1)
@@ -223,9 +251,9 @@ class Detector:
             amounts1 = a_ext.reshape(bsz * clue_count, self._n0).T  # (n0, M)
             b1 = clue_b7.reshape(bsz * clue_count)
 
-            acc = init_acc1(b1)
+            acc = init_acc1(b1, tbl["init1"])
             if can_fused and (forced or (bsz * clue_count) % 128 == 0):
-                acc = br1_fused(acc, amounts1, bsk1_bal)
+                acc = br1_fused(acc, amounts1, bsk1_bal, tables=tbl["l1"])
             else:
                 acc = br1(acc, amounts1, bsk1, bsk1_sh)
             # sum the 7 per-clue results (``detector.rs:556``)
@@ -238,50 +266,52 @@ class Detector:
             ms_b = (ms_b + inter_offset) & (q_inter - 1)
             return ms_a, ms_b
 
-        def stage2(ms_a, ms_b, bsk2, bsk2_sh, bsk2_bal):
+        def stage2(ms_a, ms_b, bsk2, bsk2_sh, bsk2_bal, tbl):
             """Second-level blind rotation (``detector.rs:599-624``; the
             mod-switch-to-2N2 guard at ``:612`` is a no-op here)."""
-            acc2 = init_acc2(ms_b)
+            acc2 = init_acc2(ms_b, tbl["init2"])
             if can_fused2 and (forced or ms_b.shape[0] % 128 == 0):
-                return br2_fused(acc2, ms_a.T, bsk2_bal)
+                return br2_fused(acc2, ms_a.T, bsk2_bal, tables=tbl["l2"])
             return br2(acc2, ms_a.T, bsk2, bsk2_sh)
 
-        def stage3(acc2, trace_k, trace_k_sh, trace_auto, trace_bal):
+        def stage3(acc2, trace_k, trace_k_sh, trace_auto, trace_bal, tbl):
             """x N^-1, homomorphic trace, to NTT domain
             (``detector.rs:626-639``)."""
             acc2 = f2.mul_shoup(acc2, n2_inv_j, n2_inv_sh)
             if can_fused_tr and (forced or acc2.shape[2] % 128 == 0):
-                acc2 = trace_fused(acc2, trace_auto, trace_bal)
+                acc2 = trace_fused(acc2, trace_auto, trace_bal,
+                                   tables=tbl["tr"])
             else:
                 acc2 = trace(acc2, trace_k, trace_k_sh)
-            out = ntt2.fwd(acc2)  # to NTT domain (``to_ntt_rlwe``)
+            out = fwd2(acc2, tbl)  # to NTT domain (``to_ntt_rlwe``)
             return out.transpose(2, 1, 0)  # (B, 2, N2)
 
         self._stage1_jit = jax.jit(stage1)
         self._stage2_jit = jax.jit(stage2)
         self._stage3_jit = jax.jit(stage3)
 
-        def detect(clue_a, clue_b7, key: DetectionKey):
+        def detect(clue_a, clue_b7, key: DetectionKey, tbl):
             ms_a, ms_b = stage1(
                 clue_a, clue_b7, key.bsk1, key.bsk1_sh, key.ksk_limbs,
-                key.bsk1_bal,
+                key.bsk1_bal, tbl,
             )
-            acc2 = stage2(ms_a, ms_b, key.bsk2, key.bsk2_sh, key.bsk2_bal)
+            acc2 = stage2(ms_a, ms_b, key.bsk2, key.bsk2_sh, key.bsk2_bal,
+                          tbl)
             return stage3(
                 acc2, key.trace_k, key.trace_k_sh, key.trace_auto,
-                key.trace_bal,
+                key.trace_bal, tbl,
             )
 
         self._detect_fn = detect
 
-        def encode_chunk(pert, plain, acc):
+        def encode_chunk(pert, plain, acc, tbl):
             """One digest-accumulation chunk.
 
             pert: (B, 2, N2) NTT-domain pertinency cts; plain: (B, N2)
             plaintext polys (centred mod q); acc: (2, N2) running ct.
             Counterpart of the chunked map in ``detector.rs:256-337``.
             """
-            pn = ntt2.fwd(plain.T)  # (N2, B)
+            pn = fwd2(plain.T, tbl)  # (N2, B)
             prod = f2.mul(pert.transpose(1, 2, 0), pn[None])  # (2, N2, B)
             return f2.add(acc, f2.mod_sum(prod, axis=2))
 
@@ -291,7 +321,7 @@ class Detector:
         idx_p = p.output_plain_modulus
         half_p = (idx_p + 1) >> 1
 
-        def encode_idx_chunk(pert, base_addr, idx, acc, nd, segs):
+        def encode_idx_chunk(pert, base_addr, idx, acc, nd, segs, tbl):
             """Index-digest chunk with ON-DEVICE plaintext construction.
 
             pert (B, 2, N2); base_addr (B, segs) start slots; idx (B,)
@@ -302,13 +332,13 @@ class Detector:
             poly = index_poly_device(
                 base_addr, idx, nd, segs, pert.shape[2], idx_p, q2
             )
-            return encode_chunk(pert, poly, acc)
+            return encode_chunk(pert, poly, acc, tbl)
 
         self._encode_idx_chunk_jit = jax.jit(
             encode_idx_chunk, static_argnums=(4, 5)
         )
 
-        def encode_pay_chunk(pert, payloads, weights, accs, plen):
+        def encode_pay_chunk(pert, payloads, weights, accs, plen, tbl):
             """Payload-digest chunk for ALL combination cts at once.
 
             pert (B, 2, N2); payloads (B, plen) int64; weights
@@ -325,7 +355,7 @@ class Detector:
                 plain = payload_plain_device(
                     payloads, weights[k], plen, n2v, idx_p, q2
                 )
-                pn = ntt2.fwd(plain.T)
+                pn = fwd2(plain.T, tbl)
                 prod = f2.mul(pert_t, pn[None])
                 out.append(f2.add(accs[k], f2.mod_sum(prod, axis=2)))
             return jnp.stack(out)
@@ -334,7 +364,8 @@ class Detector:
             encode_pay_chunk, static_argnums=(4,)
         )
 
-        def encode_idx_scan(pert, base_addr, idx, acc, nd, segs, chunk):
+        def encode_idx_scan(pert, base_addr, idx, acc, nd, segs, chunk,
+                            tbl):
             """Whole-digest index encoder as ONE device program.
 
             lax.scan over chunk-sized blocks of the (device-resident)
@@ -349,7 +380,7 @@ class Detector:
 
             def body(carry, xs):
                 p, b, i = xs
-                return encode_idx_chunk(p, b, i, carry, nd, segs), None
+                return encode_idx_chunk(p, b, i, carry, nd, segs, tbl), None
 
             out, _ = jax.lax.scan(body, acc, (pr, ba, ix))
             return out
@@ -358,7 +389,8 @@ class Detector:
             encode_idx_scan, static_argnums=(4, 5, 6)
         )
 
-        def encode_pay_scan(pert, payloads, weights, accs, plen, chunk):
+        def encode_pay_scan(pert, payloads, weights, accs, plen, chunk,
+                            tbl):
             """Whole-digest payload encoder as ONE device program (all
             combination ciphertexts; payload bytes upload once as int16)."""
             nc = pert.shape[0] // chunk
@@ -369,7 +401,7 @@ class Detector:
 
             def body(carry, xs):
                 p, pay, w = xs
-                return encode_pay_chunk(p, pay, w, carry, plen), None
+                return encode_pay_chunk(p, pay, w, carry, plen, tbl), None
 
             out, _ = jax.lax.scan(body, accs, (pr, pl, wt))
             return out
@@ -386,13 +418,17 @@ class Detector:
         in the constant slot (counterpart of ``Detector::detect``).
         """
         key = self.key
+        tbl = self.tables
         ms_a, ms_b = self._stage1_jit(
             jnp.asarray(clues.a), jnp.asarray(clues.b7),
-            key.bsk1, key.bsk1_sh, key.ksk_limbs, key.bsk1_bal,
+            key.bsk1, key.bsk1_sh, key.ksk_limbs, key.bsk1_bal, tbl,
         )
-        acc2 = self._stage2_jit(ms_a, ms_b, key.bsk2, key.bsk2_sh, key.bsk2_bal)
+        acc2 = self._stage2_jit(
+            ms_a, ms_b, key.bsk2, key.bsk2_sh, key.bsk2_bal, tbl
+        )
         return self._stage3_jit(
-            acc2, key.trace_k, key.trace_k_sh, key.trace_auto, key.trace_bal
+            acc2, key.trace_k, key.trace_k_sh, key.trace_auto,
+            key.trace_bal, tbl,
         )
 
     def detect_with_time_info(self, clues: ClueBatch):
@@ -401,18 +437,22 @@ class Detector:
         import time
 
         key = self.key
+        tbl = self.tables
         t0 = time.perf_counter()
         ms_a, ms_b = self._stage1_jit(
             jnp.asarray(clues.a), jnp.asarray(clues.b7),
-            key.bsk1, key.bsk1_sh, key.ksk_limbs, key.bsk1_bal,
+            key.bsk1, key.bsk1_sh, key.ksk_limbs, key.bsk1_bal, tbl,
         )
         jax.block_until_ready((ms_a, ms_b))
         t1 = time.perf_counter()
-        acc2 = self._stage2_jit(ms_a, ms_b, key.bsk2, key.bsk2_sh, key.bsk2_bal)
+        acc2 = self._stage2_jit(
+            ms_a, ms_b, key.bsk2, key.bsk2_sh, key.bsk2_bal, tbl
+        )
         jax.block_until_ready(acc2)
         t2 = time.perf_counter()
         out = self._stage3_jit(
-            acc2, key.trace_k, key.trace_k_sh, key.trace_auto, key.trace_bal
+            acc2, key.trace_k, key.trace_k_sh, key.trace_auto,
+            key.trace_bal, tbl,
         )
         jax.block_until_ready(out)
         t3 = time.perf_counter()
@@ -508,6 +548,7 @@ class Detector:
                 rp.index_slots_per_bucket,
                 rp.segment_per_cipher,
                 chunk,
+                self.tables,
             )
         if main != total:  # ragged tail: one chunk call
             acc = self._encode_idx_chunk_jit(
@@ -517,6 +558,7 @@ class Detector:
                 acc,
                 rp.index_slots_per_bucket,
                 rp.segment_per_cipher,
+                self.tables,
             )
         return acc
 
@@ -577,6 +619,7 @@ class Detector:
                 accs,
                 rp.payload_length,
                 chunk,
+                self.tables,
             )
         if main != total:
             accs = self._encode_pay_chunk_jit(
@@ -585,6 +628,7 @@ class Detector:
                 jnp.asarray(w_all[:, :, main:]),
                 accs,
                 rp.payload_length,
+                self.tables,
             )
         return accs
 

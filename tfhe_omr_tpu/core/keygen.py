@@ -216,8 +216,14 @@ class SecretKeyPack:
             z1n = jax.jit(c.ntt1.fwd_last)(jnp.asarray(self.z1_f))
             z2n = jax.jit(c.ntt2.fwd_last)(jnp.asarray(self.z2_f))
         dev = accelerator_device()
-        self.z1_ntt = jax.device_put(np.asarray(z1n), dev)
-        self.z2_ntt = jax.device_put(np.asarray(z2n), dev)
+        z1n_host = np.asarray(z1n)
+        z2n_host = np.asarray(z2n)
+        self.z1_ntt = jax.device_put(z1n_host, dev)
+        self.z2_ntt = jax.device_put(z2n_host, dev)
+        # host copies: the retriever's CPU-jitted decrypt closes over z2 —
+        # closing over the accelerator copy would fetch it back over the
+        # wire at trace time (see Detector._build_programs table note)
+        self.z2_ntt_host = z2n_host
 
     # ------------------------------------------------------------- clue key
     def generate_clue_key(self) -> ClueKey:
@@ -455,7 +461,7 @@ class SecretKeyPack:
         rp = RetrievalParams.for_params(
             self.params, all_payloads_count, pertinent_count
         )
-        return Retriever(rp, self.ctx, self.z2_ntt)
+        return Retriever(rp, self.ctx, self.z2_ntt_host)
 
     # ---------------------------------------------------------- decryption
     def size_bytes(self) -> int:
@@ -486,7 +492,7 @@ class SecretKeyPack:
         c = self.ctx
         with host_math():
             ct = jnp.asarray(np.asarray(ct))
-            z2 = jnp.asarray(np.asarray(self.z2_ntt))
+            z2 = jnp.asarray(self.z2_ntt_host)
             phase = c.f2.sub(ct[..., 1, :], c.f2.mul(ct[..., 0, :], z2))
             return np.asarray(c.ntt2.inv_last(phase))
 

@@ -56,7 +56,7 @@ def make_fused_blind_rotate(
     build_tables, _ = make_mono_powers(field, ntt)
     two_n = 2 * ntt.n
 
-    def blind_rotate(acc, amounts, bsk_bal):
+    def blind_rotate(acc, amounts, bsk_bal, tables=None):
         if paired:
             n_lwe = amounts.shape[0]
             assert n_lwe % 2 == 0
@@ -77,8 +77,10 @@ def make_fused_blind_rotate(
             p1.astype(jnp.int32),
             p2.astype(jnp.int32),
             bsk_bal,
+            tables=tables,
         )
 
+    blind_rotate.kernel = fused
     return blind_rotate
 
 
@@ -113,7 +115,7 @@ def make_fused_blind_rotate2(
         hi = (pt >> 25).astype(jnp.int32)
         return jnp.stack([lo, hi], axis=2).reshape(rows // 3, 6, n_e, b)
 
-    def blind_rotate(acc, amounts, bsk_bal):
+    def blind_rotate(acc, amounts, bsk_bal, tables=None):
         n_lwe = amounts.shape[0]
         assert n_lwe % 2 == 0
         a0 = amounts[0::2]
@@ -128,10 +130,12 @@ def make_fused_blind_rotate2(
         acc_l = jnp.stack(
             [(acc_t & m25).astype(jnp.int32), (acc_t >> 25).astype(jnp.int32)]
         )  # (2, 2, N, B)
-        out = fused(acc_l, to_limbs6(p1), to_limbs6(p2), bsk_bal)
+        out = fused(acc_l, to_limbs6(p1), to_limbs6(p2), bsk_bal,
+                    tables=tables)
         val = out[0].astype(jnp.int64) + (out[1].astype(jnp.int64) << 25)
         return val.transpose(1, 0, 2)  # (N, 2, B)
 
+    blind_rotate.kernel = fused
     return blind_rotate
 
 
@@ -147,16 +151,17 @@ def make_fused_trace(
     fused = FusedTrace(field, ntt, gadget.d, interpret=interpret)
     m25 = jnp.int64((1 << 25) - 1)
 
-    def trace(acc, auto, tk_bal):
+    def trace(acc, auto, tk_bal, tables=None):
         """acc (N, 2, B) int64 -> (N, 2, B) int64."""
         acc = acc.astype(jnp.int64).transpose(1, 0, 2)  # (2, N, B)
         acc_l = jnp.stack(
             [(acc & m25).astype(jnp.int32), (acc >> 25).astype(jnp.int32)]
         )
-        out = fused(acc_l, auto, tk_bal)
+        out = fused(acc_l, auto, tk_bal, tables=tables)
         val = out[0].astype(jnp.int64) + (out[1].astype(jnp.int64) << 25)
         return val.transpose(1, 0, 2)
 
+    trace.kernel = fused
     return trace
 
 
@@ -190,12 +195,12 @@ def make_mono_powers(field: PrimeField, ntt):
     psi_pows2_sh = [int(field.shoup(w)) for w in psi_pows2]
 
     orders_np = np.asarray(ntt.orders)
+    # HOST numpy closures: embedded by value at trace time (a device-array
+    # closure stalls lowering on tunneled backends; PERF_NOTES round-3)
     oh_lo = np.zeros((n, n_lo), dtype=np.int8)
     oh_lo[np.arange(n), orders_np % n_lo] = 1
     oh_hi = np.zeros((n, n_hi), dtype=np.int8)
     oh_hi[np.arange(n), orders_np >> lo_bits] = 1
-    oh_lo = jnp.asarray(oh_lo)
-    oh_hi = jnp.asarray(oh_hi)
 
     levels = -(-field.bits // 7)
     big = field.bits > 27  # recombined one-hot dots need int64
@@ -362,15 +367,16 @@ def make_init_accumulator(field: PrimeField, ext_lut_np: np.ndarray, n: int):
     ts = np.arange(two_n, dtype=np.int64)[None, :]
     shift = lut[(ks + ts) % two_n]  # (N, 2N) static
     levels = -(-field.bits // 7)
-    planes = jnp.asarray(
-        np.concatenate(
-            [((shift >> (7 * a)) & 127).astype(np.int8) for a in range(levels)],
-            axis=0,
-        )
-    )  # (L*N, 2N)
+    planes_np = np.concatenate(
+        [((shift >> (7 * a)) & 127).astype(np.int8) for a in range(levels)],
+        axis=0,
+    )  # (L*N, 2N), HOST numpy (device copy rides the jit args)
+
     wide = field.bits > 27
 
-    def init(b):
+    def init(b, planes=None):
+        if planes is None:
+            planes = planes_np
         oh = (
             jnp.arange(two_n, dtype=b.dtype)[:, None] == b[None, :]
         ).astype(jnp.int8)  # (2N, B)
@@ -387,6 +393,7 @@ def make_init_accumulator(field: PrimeField, ext_lut_np: np.ndarray, n: int):
         acc_b = out.astype(field.storage_dtype)
         return jnp.stack([jnp.zeros_like(acc_b), acc_b], axis=1)
 
+    init.planes = planes_np
     return init
 
 
@@ -416,7 +423,7 @@ def make_lwe_keyswitch(field: PrimeField, digits: int, n_out: int):
     ``NonPowOf2LweKeySwitchingKey::key_switch`` (``detector.rs:560-563``).
     """
     limbs = -(-field.bits // 7)
-    shifts = jnp.arange(digits, dtype=jnp.int32)
+    shifts = np.arange(digits, dtype=np.int32)
 
     def keyswitch(a_vec, b, ksk_limbs):
         bsz, n_in = a_vec.shape

@@ -75,9 +75,9 @@ class NegacyclicNtt:
         self._inv_tw = []
         m = 1
         while m < n:
-            w = jnp.asarray(psi_pows[m : 2 * m], dtype=sd)
+            w = np.asarray(psi_pows[m : 2 * m], dtype=sd)
             self._fwd_tw.append(
-                (w, jnp.asarray(field.shoup(psi_pows[m : 2 * m]), dtype=sd))
+                (w, np.asarray(field.shoup(psi_pows[m : 2 * m]), dtype=sd))
             )
             m *= 2
         h = n // 2
@@ -88,13 +88,14 @@ class NegacyclicNtt:
                 tw = tw * np.int64(0) + np.asarray(
                     [(int(ipsi_pows[1]) * self.n_inv) % q], dtype=np.int64
                 )
-            w = jnp.asarray(tw, dtype=sd)
+            w = np.asarray(tw, dtype=sd)
             self._inv_tw.append(
-                (w, jnp.asarray(field.shoup(tw), dtype=sd))
+                (w, np.asarray(field.shoup(tw), dtype=sd))
             )
             h //= 2
-        self._n_inv = jnp.int64(self.n_inv)
-        self._n_inv_sh = jnp.int64(int(field.shoup(self.n_inv)))
+        # host scalars/tables: device-array closures stall remote tracing
+        self._n_inv = np.int64(self.n_inv)
+        self._n_inv_sh = np.int64(int(field.shoup(self.n_inv)))
 
         # full psi power table (exponents mod 2N) for monomial products
         pow2n = np.empty(2 * n, dtype=np.int64)

@@ -208,8 +208,10 @@ class FusedBlindRotateL1:
         oh_lo[np.arange(self.n), orders_np % self.n_lo] = 1
         oh_hi = np.zeros((self.n, self.n_hi), dtype=np.int8)
         oh_hi[np.arange(self.n), orders_np >> lo_bits] = 1
-        self._oh_lo = jnp.asarray(oh_lo)
-        self._oh_hi = jnp.asarray(oh_hi)
+        # HOST numpy (device-array closures stall tracing on tunneled
+        # backends — docs/PERF_NOTES.md round-3); device copies ride args
+        self._oh_lo = oh_lo
+        self._oh_hi = oh_hi
         self._call = self._make_call()
 
     # --------------------------------------------------- in-kernel arithmetic
@@ -387,8 +389,10 @@ class FusedBlindRotateL1:
         return out
 
     # --------------------------------------------------------------- kernel
-    def _make_call(self):
-        n, r, c, d = self.n, self.r, self.c, self.d
+    @property
+    def host_tables(self):
+        """(w0f, w1f, w0i, w1i, oh_lo, oh_hi) as host numpy — device_put
+        once and pass via ``__call__(..., tables=...)`` in hot programs."""
         pn = self.ntt
         if self.single_dot:
             w0f, w1f = pn._wf_full, pn._w1_f
@@ -396,7 +400,11 @@ class FusedBlindRotateL1:
         else:
             w0f, w1f = pn._w0_f, pn._w1_f
             w0i, w1i = pn._w0_i, pn._w1_i
-        oh_lo, oh_hi = self._oh_lo, self._oh_hi
+        return (w0f, w1f, w0i, w1i, self._oh_lo, self._oh_hi)
+
+    def _make_call(self):
+        n, r, c, d = self.n, self.r, self.c, self.d
+        shapes = [a.shape for a in self.host_tables]
         jc = 2 * d  # digit columns per batch element
         lvl0_chunk = 8192
         full_chunk = 512  # single-dot column chunk (bounds the (L*N, X) temp)
@@ -579,14 +587,16 @@ class FusedBlindRotateL1:
             def _():
                 o_ref[:] = new_acc
 
-        def call(acc, p1, p2, bsk_bal):
-            """acc (N, 2, B) int32.
+        def call(acc, p1, p2, bsk_bal, tables):
+            """acc (N, 2, B) int32; tables = (w0f, w1f, w0i, w1i, oh_lo,
+            oh_hi) matching :attr:`host_tables` shapes.
 
             rows=1: p1 (n_lo, n_steps, B) int32, p2 (n_hi, n_steps, B),
             bsk_bal (n_steps, N, 32) int32.
             rows=3: p1 (n_steps, 3, n_lo, B) int32 (already step-major),
             p2 (n_steps, 3, n_hi, B), bsk_bal (n_steps, N, 128) int16.
             -> (N, 2, B) int32."""
+            w0f, w1f, w0i, w1i, oh_lo, oh_hi = tables
             if self.rows == 1:
                 p1 = p1.transpose(1, 0, 2)  # (n_steps, n_lo, B)
                 p2 = p2.transpose(1, 0, 2)
@@ -679,8 +689,10 @@ class FusedBlindRotateL1:
 
         return call
 
-    def __call__(self, acc, p1, p2, bsk_bal):
-        return self._call(acc, p1, p2, bsk_bal)
+    def __call__(self, acc, p1, p2, bsk_bal, tables=None):
+        if tables is None:
+            tables = self.host_tables
+        return self._call(acc, p1, p2, bsk_bal, tables)
 
 
 # ---------------------------------------------------------------------------
@@ -768,8 +780,8 @@ class FusedBlindRotateL2:
         oh_lo[np.arange(self.n), orders_np % self.n_lo] = 1
         oh_hi = np.zeros((self.n, self.n_hi), dtype=np.int8)
         oh_hi[np.arange(self.n), orders_np >> lo_bits] = 1
-        self._oh_lo = jnp.asarray(oh_lo)
-        self._oh_hi = jnp.asarray(oh_hi)
+        self._oh_lo = oh_lo
+        self._oh_hi = oh_hi
         q = field.q
         self._q_lo = q & ((1 << 25) - 1)
         self._q_hi = q >> 25
@@ -1028,8 +1040,9 @@ class FusedBlindRotateL2:
         return lo2 + (neg << 25), s_hi - gi * q_hi - neg
 
     # ---------------------------------------------------------------- kernel
-    def _make_call(self):
-        n, r, c, d = self.n, self.r, self.c, self.d
+    @property
+    def host_tables(self):
+        """(w0f, w1f, w0i, w1i, oh_lo, oh_hi), host numpy (see L1)."""
         pn = self.ntt
         if self.single_dot:
             # w1f is unused in single-dot forward mode; keep a tiny
@@ -1037,8 +1050,10 @@ class FusedBlindRotateL2:
             w0f, w1f = pn._wf_full, pn._w1_f[:1]
         else:
             w0f, w1f = pn._w0_f, pn._w1_f
-        w0i, w1i = pn._w0_i, pn._w1_i
-        oh_lo, oh_hi = self._oh_lo, self._oh_hi
+        return (w0f, w1f, pn._w0_i, pn._w1_i, self._oh_lo, self._oh_hi)
+
+    def _make_call(self):
+        n, r, c, d = self.n, self.r, self.c, self.d
         jc = 2 * d
         lvl0_chunk = 8192
 
@@ -1268,10 +1283,11 @@ class FusedBlindRotateL2:
                 o_ref[0] = new_lo
                 o_ref[1] = new_hi
 
-        def call(acc_limbs, p1l, p2l, bsk_bal):
+        def call(acc_limbs, p1l, p2l, bsk_bal, tables):
             """acc_limbs (2, 2, N, B) int32 [limb, o, n, b];
             p1l/p2l (n_steps, 6, n_e, B) int32 [(t, limb) rows];
             bsk_bal (n_steps, 2d, N, 32) int16 -> (2, 2, N, B) int32."""
+            w0f, w1f, w0i, w1i, oh_lo, oh_hi = tables
             _, _, n_, b = acc_limbs.shape
             n_steps = bsk_bal.shape[0]
             tile = min(self.tile, b)
@@ -1343,8 +1359,10 @@ class FusedBlindRotateL2:
 
         return call
 
-    def __call__(self, acc_limbs, p1l, p2l, bsk_bal):
-        return self._call(acc_limbs, p1l, p2l, bsk_bal)
+    def __call__(self, acc_limbs, p1l, p2l, bsk_bal, tables=None):
+        if tables is None:
+            tables = self.host_tables
+        return self._call(acc_limbs, p1l, p2l, bsk_bal, tables)
 
 
 # ---------------------------------------------------------------------------
@@ -1449,11 +1467,14 @@ class FusedTrace(FusedBlindRotateL2):
         cr = lo2 >> 25
         return lo2 - (cr << 25), hi + neg * jnp.int32(self._q_hi) + cr
 
+    @property
+    def host_tables(self):
+        """(w0f, w1f, w0i, w1i), host numpy (see FusedBlindRotateL1)."""
+        pn = self.ntt
+        return (pn._w0_f, pn._w1_f, pn._w0_i, pn._w1_i)
+
     def _make_trace_call(self):
         n, r, c, d = self.n, self.r, self.c, self.d
-        pn = self.ntt
-        w0f, w1f = pn._w0_f, pn._w1_f
-        w0i, w1i = pn._w0_i, pn._w1_i
         jc = d + (d % 2)  # padded digit columns
         assert 2 * d >= 50, "trace gadget must be exact (d*log_b >= bits)"
 
@@ -1649,10 +1670,11 @@ class FusedTrace(FusedBlindRotateL2):
                 o_ref[0, 1] = nb_lo
                 o_ref[1, 1] = nb_hi
 
-        def call(acc_limbs, auto, tk_bal):
+        def call(acc_limbs, auto, tk_bal, tables):
             """acc_limbs (2, 2, N, B) int32 [limb, o, n, b]; auto
             (rounds, N, 2) int32 (make_auto_compact); tk_bal
             (rounds, jc, N, 16) int16 -> (2, 2, N, B) int32."""
+            w0f, w1f, w0i, w1i = tables
             _, _, n_, b = acc_limbs.shape
             rounds = auto.shape[0]
             tile = min(self.tile, b)
@@ -1715,5 +1737,7 @@ class FusedTrace(FusedBlindRotateL2):
 
         return call
 
-    def __call__(self, acc_limbs, auto, tk_bal):
-        return self._call(acc_limbs, auto, tk_bal)
+    def __call__(self, acc_limbs, auto, tk_bal, tables=None):
+        if tables is None:
+            tables = self.host_tables
+        return self._call(acc_limbs, auto, tk_bal, tables)

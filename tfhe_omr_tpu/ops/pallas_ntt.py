@@ -83,11 +83,13 @@ class PallasNtt:
         w1k_f = np.stack(
             [mat1_f * tw0_f[k0][None, :] % q for k0 in range(r)]
         )  # (r, c, c)
-        self._w0_f = jnp.asarray(_digit_plane_stack(mat0_f, self.levels))
-        self._w1_f = jnp.asarray(
-            np.stack(
-                [_digit_plane_stack(w1k_f[k0], self.levels) for k0 in range(r)]
-            )
+        # tables stay HOST-side numpy: a device-array closure constant
+        # forces a device->host fetch at trace time (catastrophically slow
+        # on tunneled backends, see docs/PERF_NOTES.md round-3 cold start);
+        # hot programs receive the device copies as jit ARGUMENTS instead
+        self._w0_f = _digit_plane_stack(mat0_f, self.levels)
+        self._w1_f = np.stack(
+            [_digit_plane_stack(w1k_f[k0], self.levels) for k0 in range(r)]
         )  # (r, L*c, c)
         # ---- inverse constants (levels run 1 then 0; tw0^-1 folded into the
         # level-1 inverse matrices' output rows)
@@ -96,11 +98,9 @@ class PallasNtt:
         w1k_i = np.stack(
             [mat1_i * tw0_i[k0][:, None] % q for k0 in range(r)]
         )
-        self._w0_i = jnp.asarray(_digit_plane_stack(mat0_i, self.levels))
-        self._w1_i = jnp.asarray(
-            np.stack(
-                [_digit_plane_stack(w1k_i[k0], self.levels) for k0 in range(r)]
-            )
+        self._w0_i = _digit_plane_stack(mat0_i, self.levels)
+        self._w1_i = np.stack(
+            [_digit_plane_stack(w1k_i[k0], self.levels) for k0 in range(r)]
         )
         # single-stage full DFT matrices (used by the fused kernel's
         # single-dot mode): M_f[k, j] = psi^(o_k * j),
@@ -111,8 +111,8 @@ class PallasNtt:
         oj = (np.asarray(self.orders)[:, None] * np.arange(n)[None, :]) % two_n
         mf = pow2n[oj]
         mi = (pow2n[(-oj) % two_n] * self.n_inv) % q
-        self._wf_full = jnp.asarray(_digit_plane_stack(mf, self.levels))
-        self._wi_full = jnp.asarray(_digit_plane_stack(mi.T, self.levels))
+        self._wf_full = _digit_plane_stack(mf, self.levels)
+        self._wi_full = _digit_plane_stack(mi.T, self.levels)
 
         self._fwd_call = self._make_call(inverse=False)
         self._inv_call = self._make_call(inverse=True)
@@ -166,8 +166,8 @@ class PallasNtt:
 
     def _make_call(self, inverse: bool):
         n, r, c = self.n, self.r, self.c
-        w0 = self._w0_i if inverse else self._w0_f
-        w1 = self._w1_i if inverse else self._w1_f
+        w0_shape = (self._w0_i if inverse else self._w0_f).shape
+        w1_shape = (self._w1_i if inverse else self._w1_f).shape
 
         def kernel(w0_ref, w1_ref, x_ref, o_ref):
             bt = x_ref.shape[1]
@@ -190,7 +190,7 @@ class PallasNtt:
                 ]
                 o_ref[:] = jnp.stack(outs, axis=0).reshape(n, bt)
 
-        def call(x):
+        def call(x, w0, w1):
             n_, b = x.shape
             tile = min(self.tile, b)
             pad = (-b) % tile
@@ -206,13 +206,13 @@ class PallasNtt:
                 # produced under jax_enable_x64
                 in_specs=[
                     pl.BlockSpec(
-                        w0.shape,
-                        lambda i: (jnp.int32(0),) * w0.ndim,
+                        w0_shape,
+                        lambda i: (jnp.int32(0),) * len(w0_shape),
                         memory_space=pltpu.VMEM,
                     ),
                     pl.BlockSpec(
-                        w1.shape,
-                        lambda i: (jnp.int32(0),) * w1.ndim,
+                        w1_shape,
+                        lambda i: (jnp.int32(0),) * len(w1_shape),
                         memory_space=pltpu.VMEM,
                     ),
                     pl.BlockSpec(
@@ -233,6 +233,16 @@ class PallasNtt:
         return call
 
     # ------------------------------------------------------------- interface
+    @property
+    def fwd_tables(self):
+        """Host numpy (w0, w1) of the forward transform — device_put once
+        and pass back via ``fwd(x, tables=...)`` in hot jitted programs."""
+        return (self._w0_f, self._w1_f)
+
+    @property
+    def inv_tables(self):
+        return (self._w0_i, self._w1_i)
+
     def _pallas_ok(self) -> bool:
         """Use the kernel only when dispatching to a non-CPU backend (the
         eager keygen path is pinned to CPU via utils.devices.host_math)."""
@@ -249,27 +259,29 @@ class PallasNtt:
             flat *= s
         return flat
 
-    def fwd(self, x):
+    def fwd(self, x, tables=None):
         # Mosaic lane tiles need >=128 columns; tiny batches (e.g. the
         # client-side decrypt of a handful of ciphertexts) use the jnp twin
         if not self._pallas_ok() or self._flat_batch(x) < 128:
             return self.ref.fwd(x)
+        w0, w1 = tables if tables is not None else self.fwd_tables
         batch = x.shape[1:]
-        out = self._fwd_call(x.reshape(self.n, self._flat_batch(x)))
+        out = self._fwd_call(x.reshape(self.n, self._flat_batch(x)), w0, w1)
         return out.reshape((self.n,) + batch)
 
-    def inv(self, x):
+    def inv(self, x, tables=None):
         if not self._pallas_ok() or self._flat_batch(x) < 128:
             return self.ref.inv(x)
+        w0, w1 = tables if tables is not None else self.inv_tables
         batch = x.shape[1:]
-        out = self._inv_call(x.reshape(self.n, self._flat_batch(x)))
+        out = self._inv_call(x.reshape(self.n, self._flat_batch(x)), w0, w1)
         return out.reshape((self.n,) + batch)
 
-    def fwd_last(self, x):
-        return jnp.moveaxis(self.fwd(jnp.moveaxis(x, -1, 0)), 0, -1)
+    def fwd_last(self, x, tables=None):
+        return jnp.moveaxis(self.fwd(jnp.moveaxis(x, -1, 0), tables), 0, -1)
 
-    def inv_last(self, x):
-        return jnp.moveaxis(self.inv(jnp.moveaxis(x, -1, 0)), 0, -1)
+    def inv_last(self, x, tables=None):
+        return jnp.moveaxis(self.inv(jnp.moveaxis(x, -1, 0), tables), 0, -1)
 
     def monomial_minus_one_tables(self):
         return self.ref.monomial_minus_one_tables()
@@ -339,17 +351,14 @@ class PallasNtt50:
 
         w1k_f = fold_obj(mat1_f, tw0_f, by_rows=False)
         w1k_i = fold_obj(mat1_i, tw0_i, by_rows=True)
-        self._w0_f = jnp.asarray(_digit_plane_stack(mat0_f, self.levels))
-        self._w1_f = jnp.asarray(
-            np.stack(
-                [_digit_plane_stack(w1k_f[k0], self.levels) for k0 in range(r)]
-            )
+        # HOST-side numpy (see PallasNtt note): device copies ride jit args
+        self._w0_f = _digit_plane_stack(mat0_f, self.levels)
+        self._w1_f = np.stack(
+            [_digit_plane_stack(w1k_f[k0], self.levels) for k0 in range(r)]
         )
-        self._w0_i = jnp.asarray(_digit_plane_stack(mat0_i, self.levels))
-        self._w1_i = jnp.asarray(
-            np.stack(
-                [_digit_plane_stack(w1k_i[k0], self.levels) for k0 in range(r)]
-            )
+        self._w0_i = _digit_plane_stack(mat0_i, self.levels)
+        self._w1_i = np.stack(
+            [_digit_plane_stack(w1k_i[k0], self.levels) for k0 in range(r)]
         )
 
         # two-level evaluation orders via exact host evaluation of delta_1,
@@ -370,8 +379,8 @@ class PallasNtt50:
         # lookup, no modular multiplies needed
         two_n = 2 * n
         oj = (self.orders[:, None] * np.arange(n, dtype=np.int64)[None, :]) % two_n
-        self._wf_full = jnp.asarray(
-            _digit_plane_stack(self._psi_pow_2n[oj], self.levels)
+        self._wf_full = _digit_plane_stack(
+            np.asarray(self._psi_pow_2n)[oj], self.levels
         )
 
         self._fwd_call = self._make_call(inverse=False)
@@ -462,8 +471,8 @@ class PallasNtt50:
 
     def _make_call(self, inverse: bool):
         n, r, c = self.n, self.r, self.c
-        w0 = self._w0_i if inverse else self._w0_f
-        w1 = self._w1_i if inverse else self._w1_f
+        w0_shape = (self._w0_i if inverse else self._w0_f).shape
+        w1_shape = (self._w1_i if inverse else self._w1_f).shape
         xc = self.x_chunk
 
         def level0(lo, hi, w0k, X):
@@ -511,7 +520,7 @@ class PallasNtt50:
                 o_ref[0] = jnp.stack(lo_o, axis=0).reshape(n, bt)
                 o_ref[1] = jnp.stack(hi_o, axis=0).reshape(n, bt)
 
-        def call(x):
+        def call(x, w0, w1):
             n_, b = x.shape
             tile = min(self.tile, b)
             pad = (-b) % tile
@@ -529,13 +538,13 @@ class PallasNtt50:
                 grid=(limbs.shape[2] // tile,),
                 in_specs=[
                     pl.BlockSpec(
-                        w0.shape,
-                        lambda i: (jnp.int32(0),) * w0.ndim,
+                        w0_shape,
+                        lambda i: (jnp.int32(0),) * len(w0_shape),
                         memory_space=pltpu.VMEM,
                     ),
                     pl.BlockSpec(
-                        w1.shape,
-                        lambda i: (jnp.int32(0),) * w1.ndim,
+                        w1_shape,
+                        lambda i: (jnp.int32(0),) * len(w1_shape),
                         memory_space=pltpu.VMEM,
                     ),
                     pl.BlockSpec(
@@ -560,6 +569,15 @@ class PallasNtt50:
         return call
 
     # ------------------------------------------------------------- interface
+    @property
+    def fwd_tables(self):
+        """Host numpy (w0, w1) of the forward transform (see PallasNtt)."""
+        return (self._w0_f, self._w1_f)
+
+    @property
+    def inv_tables(self):
+        return (self._w0_i, self._w1_i)
+
     def _pallas_ok(self) -> bool:
         if self.interpret:
             return True
@@ -575,25 +593,27 @@ class PallasNtt50:
             flat *= s
         return x.reshape(self.n, flat), batch
 
-    def fwd(self, x):
+    def fwd(self, x, tables=None):
         xf, batch = self._flat(x)
         if not self._pallas_ok() or xf.shape[1] < 128:
             perm = jnp.asarray(self._perm)
             return self.ref2.fwd(x)[perm]
-        return self._fwd_call(xf).reshape((self.n,) + batch)
+        w0, w1 = tables if tables is not None else self.fwd_tables
+        return self._fwd_call(xf, w0, w1).reshape((self.n,) + batch)
 
-    def inv(self, x):
+    def inv(self, x, tables=None):
         xf, batch = self._flat(x)
         if not self._pallas_ok() or xf.shape[1] < 128:
             perm_inv = jnp.asarray(self._perm_inv)
             return self.ref2.inv(x[perm_inv])
-        return self._inv_call(xf).reshape((self.n,) + batch)
+        w0, w1 = tables if tables is not None else self.inv_tables
+        return self._inv_call(xf, w0, w1).reshape((self.n,) + batch)
 
-    def fwd_last(self, x):
-        return jnp.moveaxis(self.fwd(jnp.moveaxis(x, -1, 0)), 0, -1)
+    def fwd_last(self, x, tables=None):
+        return jnp.moveaxis(self.fwd(jnp.moveaxis(x, -1, 0), tables), 0, -1)
 
-    def inv_last(self, x):
-        return jnp.moveaxis(self.inv(jnp.moveaxis(x, -1, 0)), 0, -1)
+    def inv_last(self, x, tables=None):
+        return jnp.moveaxis(self.inv(jnp.moveaxis(x, -1, 0), tables), 0, -1)
 
     def monomial_minus_one_tables(self):
         q = self.field.q

@@ -50,22 +50,37 @@ class ShardedDetector:
         # same seed, so the global array is assembled from local host copies
         # (cross-host device transfers are not available on all backends).
         self.key = jax.tree_util.tree_map(self._replicate, detector.key)
+        #: replicated device copies of the detector's precomputed tables
+        #: (same reasoning as in Detector._build_programs: tables ride the
+        #: programs as arguments, never as closure constants)
+        self.tables = jax.tree_util.tree_map(
+            self._replicate, detector.tables
+        )
         self._enc_cache = {}
 
         self._detect_sharded = jax.jit(
             shard_map(
                 detector._detect_fn,
                 mesh=mesh,
-                in_specs=(P(axis_name), P(axis_name), P()),
+                in_specs=(P(axis_name), P(axis_name), P(), P()),
                 out_specs=P(axis_name),
                 check_rep=False,
             )
         )
 
-        def encode_shard(pert, plain):
+        ntt2 = detector.ctx.ntt2
+        ntt2_has_tables = hasattr(ntt2, "fwd_tables")
+
+        def fwd2(x, tbl):
+            if ntt2_has_tables:
+                return ntt2.fwd(x, tables=tbl["ntt2f"])
+            return ntt2.fwd(x)
+
+        self._fwd2 = fwd2
+
+        def encode_shard(pert, plain, tbl):
             """Local MAC-sum then exact modular psum across shards."""
-            ctx = detector.ctx
-            pn = ctx.ntt2.fwd(plain.T)
+            pn = fwd2(plain.T, tbl)
             prod = f2.mul(pert.transpose(1, 2, 0), pn[None])
             local = f2.mod_sum(prod, axis=2)
             # psum of values < q over n_dev shards stays < n_dev * q < 2**62
@@ -76,7 +91,7 @@ class ShardedDetector:
             shard_map(
                 encode_shard,
                 mesh=mesh,
-                in_specs=(P(axis_name), P(axis_name)),
+                in_specs=(P(axis_name), P(axis_name), P()),
                 out_specs=P(),
                 check_rep=False,
             )
@@ -132,13 +147,15 @@ class ShardedDetector:
             b7 = np.concatenate(
                 [b7, np.zeros((padded - bsz, b7.shape[1]), b7.dtype)]
             )
-        out = self._detect_sharded(self._shard(a), self._shard(b7), self.key)
+        out = self._detect_sharded(
+            self._shard(a), self._shard(b7), self.key, self.tables
+        )
         return out[:bsz] if padded != bsz else out
 
     def encode_chunk(self, pertinency, plain):
         """Digest chunk accumulation with psum reduce; returns (2, N2)."""
         return self._encode_sharded(
-            self._shard(pertinency), self._shard(plain)
+            self._shard(pertinency), self._shard(plain), self.tables
         )
 
     # ------------------------------------------------- full digest encoders
@@ -161,7 +178,9 @@ class ShardedDetector:
         axis = self.axis
         nbits = f2.bits + self.n_dev.bit_length() + 1
 
-        def encode(pert, base_addr, idx):
+        fwd2 = self._fwd2
+
+        def encode(pert, base_addr, idx, tbl):
             t_loc = pert.shape[0]
             n2v = pert.shape[2]
             cl = min(chunk, t_loc)
@@ -182,7 +201,7 @@ class ShardedDetector:
             def body(acc, xs):
                 p, b, i = xs
                 poly = index_poly_device(b, i, nd, segs, n2v, idx_p, q2)
-                pn = ntt2.fwd(poly.T)
+                pn = fwd2(poly.T, tbl)
                 prod = f2.mul(p.transpose(1, 2, 0), pn[None])
                 return f2.add(acc, f2.mod_sum(prod, axis=2)), None
 
@@ -194,7 +213,7 @@ class ShardedDetector:
             shard_map(
                 encode,
                 mesh=self.mesh,
-                in_specs=(P(self.axis), P(self.axis), P(self.axis)),
+                in_specs=(P(self.axis), P(self.axis), P(self.axis), P()),
                 out_specs=P(),
                 check_rep=False,
             )
@@ -217,7 +236,9 @@ class ShardedDetector:
         axis = self.axis
         nbits = f2.bits + self.n_dev.bit_length() + 1
 
-        def encode(pert, payloads, weights):
+        fwd2 = self._fwd2
+
+        def encode(pert, payloads, weights, tbl):
             t_loc = pert.shape[0]
             n2v = pert.shape[2]
             cl = min(chunk, t_loc)
@@ -248,7 +269,7 @@ class ShardedDetector:
                     plain = payload_plain_device(
                         pay, w[k], plen, n2v, idx_p, q2
                     )
-                    pn = ntt2.fwd(plain.T)
+                    pn = fwd2(plain.T, tbl)
                     prod = f2.mul(pert_t, pn[None])
                     out.append(f2.add(accs[k], f2.mod_sum(prod, axis=2)))
                 return jnp.stack(out), None
@@ -265,6 +286,7 @@ class ShardedDetector:
                     P(self.axis),
                     P(self.axis),
                     P(None, None, self.axis),
+                    P(),
                 ),
                 out_specs=P(),
                 check_rep=False,
@@ -296,7 +318,10 @@ class ShardedDetector:
             rp.index_slots_per_bucket, rp.segment_per_cipher,
             min(chunk, total),
         )
-        return fn(self._shard_pert(pertinency), self._shard(base_addr), self._shard(idx))
+        return fn(
+            self._shard_pert(pertinency), self._shard(base_addr),
+            self._shard(idx), self.tables,
+        )
 
     def encode_pertinent_payloads(self, retrieval_params, pertinency,
                                   payloads, seed, chunk: int = 2048):
@@ -330,4 +355,5 @@ class ShardedDetector:
             self._shard_pert(pertinency),
             self._shard(np.asarray(payloads, dtype=np.int16)),
             w_dev,
+            self.tables,
         )
