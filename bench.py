@@ -39,10 +39,18 @@ def main():
     clues = sender.gen_clues(batch, rng)
     keygen_s = time.perf_counter() - t0
 
-    # compile + warm up
+    # AOT-prepare the stage programs from the lowered-program disk cache
+    # (skips ~250 s of host-side tracing per fresh process; cold cache pays
+    # it once and records "miss")
+    t0 = time.perf_counter()
+    aot_status = detector.warm(batch)
+    warm_s = time.perf_counter() - t0
+
+    # compile + warm up (executable load + first batch)
     t0 = time.perf_counter()
     out = detector.detect(clues)
     jax.block_until_ready(out)
+    np.asarray(out[:1, :1, :8])  # pin true completion (tunneled backend)
     compile_s = time.perf_counter() - t0
 
     # OMR_BENCH_FETCH=1 forces a tiny device->host fetch inside the timed
@@ -155,8 +163,8 @@ def main():
             {
                 "detail": {
                     "batch": batch,
-                    "batch_seconds_streaming": round(best, 3),
-                    "ms_per_message": round(1000.0 * best / batch, 3),
+                    "batch_seconds_streaming": round(per_batch_s, 3),
+                    "ms_per_message": round(1000.0 * per_batch_s / batch, 3),
                     "stage_ms_per_message": {
                         "first_level": round(
                             1e3 * stages.first_level_bootstrapping_time / batch, 2
@@ -168,7 +176,12 @@ def main():
                         "trace": round(1e3 * stages.trace_time / batch, 2),
                     },
                     "keygen_seconds": round(keygen_s, 1),
+                    "aot_warm_seconds": round(warm_s, 1),
+                    "aot_status": aot_status,
                     "compile_seconds": round(compile_s, 1),
+                    "cold_start_seconds": round(
+                        keygen_s + warm_s + compile_s, 1
+                    ),
                     "digest": enc,
                     "device": str(jax.devices()[0]),
                 }

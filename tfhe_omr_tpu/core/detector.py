@@ -463,6 +463,62 @@ class Detector:
             trace_time=t3 - t2,
         )
 
+    # ----------------------------------------------------------- AOT warm
+    def warm(self, batch: int):
+        """AOT-prepare the three stage programs for a ``batch``-message
+        detect, using the on-disk lowered-program cache
+        (:mod:`tfhe_omr_tpu.utils.aotcache`).
+
+        Tracing + lowering the fused stage programs is expensive host work
+        (~250 s for the L2 program on a 2-core host); the exported artifact
+        makes later processes skip it entirely. Calls with other batch
+        sizes fall back to the normal jit path. Returns a dict
+        {stage: "hit"|"miss"} for telemetry.
+        """
+        import jax as _jax
+
+        from tfhe_omr_tpu.utils.aotcache import ShapeDispatched, cached_export
+
+        p = self.ctx.params
+        sds = _jax.ShapeDtypeStruct
+        i64 = jnp.int64
+
+        def tosds(t):
+            return _jax.tree_util.tree_map(
+                lambda x: sds(x.shape, x.dtype), t
+            )
+
+        key_s = tosds(self.key)
+        tbl_s = tosds(self.tables)
+        n_out = p.first_level_ks.out_dimension
+        args1 = (
+            sds((batch, p.clue_params.dimension), i64),
+            sds((batch, p.clue_count), i64),
+            key_s.bsk1, key_s.bsk1_sh, key_s.ksk_limbs, key_s.bsk1_bal,
+            tbl_s,
+        )
+        args2 = (
+            sds((batch, n_out), i64), sds((batch,), i64),
+            key_s.bsk2, key_s.bsk2_sh, key_s.bsk2_bal, tbl_s,
+        )
+        args3 = (
+            sds((p.n2, 2, batch), i64),
+            key_s.trace_k, key_s.trace_k_sh, key_s.trace_auto,
+            key_s.trace_bal, tbl_s,
+        )
+        status = {}
+        for name, args, attr in (
+            ("stage1", args1, "_stage1_jit"),
+            ("stage2", args2, "_stage2_jit"),
+            ("stage3", args3, "_stage3_jit"),
+        ):
+            base = getattr(self, attr)
+            if isinstance(base, ShapeDispatched):
+                base = base._base
+            call, status[name] = cached_export(name, base, args)
+            setattr(self, attr, ShapeDispatched(base, call, args))
+        return status
+
     # ------------------------------------------------------- digest encoder
     def build_index_plaintexts(
         self,
