@@ -77,6 +77,9 @@ def main():
     sender2 = skp2.generate_sender()
     detector = skp.generate_detector()
     log.info("detection key size: %.1f MB", detector.detect_key_size() / 1e6)
+    t0 = time.perf_counter()
+    aot = detector.warm(args.batch)
+    log.info("AOT warm (%s) in %.1fs", aot, time.perf_counter() - t0)
 
     rng = np.random.default_rng()
     pertinent = np.zeros(all_count, dtype=bool)
