@@ -49,14 +49,12 @@ def main():
         if paired
         else make_bsk_balanced(bsk_np, f.q)
     )
-    build_tables, _ = make_mono_powers(f, ntt)
-    p1, p2 = jax.jit(build_tables)(amounts)
-    p1 = p1.astype(jnp.int32)
-    p2 = p2.astype(jnp.int32)
-    if paired:
-        p1 = p1.transpose(1, 0, 2).reshape(steps, 3, p1.shape[0], B)
-        p2 = p2.transpose(1, 0, 2).reshape(steps, 3, p2.shape[0], B)
-    jax.block_until_ready((p1, p2))
+    from tfhe_omr_tpu.ops.bootstrap import make_x_power
+
+    build_x = make_x_power(f, ntt)
+    x = jax.jit(build_x)(amounts).astype(jnp.int32)
+    xpow = x.reshape(steps, 3, B) if paired else x
+    jax.block_until_ready(xpow)
 
     variants = os.environ.get(
         "AB_VARIANTS", "none,dec,fwd,mono,mac,intt"
@@ -67,16 +65,20 @@ def main():
             f, ntt, g.d, g.log_b, tile=tile, skip=skip, rows=rows,
             single_dot=single_dot,
         )
-        fn = jax.jit(lambda a, q1, q2, k: fused(a, q1, q2, k))
+        fn = jax.jit(lambda a, xp, k: fused(a, xp, k))
+        # the tunneled backend can ack block_until_ready before the device
+        # has run the program — a tiny device->host fetch pins completion
+        fetch = lambda o: np.asarray(o.ravel()[:8])
         t0 = time.perf_counter()
-        out = fn(acc0, p1, p2, bsk_bal)
+        out = fn(acc0, xpow, bsk_bal)
         jax.block_until_ready(out)
+        fetch(out)
         compile_s = time.perf_counter() - t0
         times = []
         for _ in range(3):
             t0 = time.perf_counter()
-            out = fn(acc0, p1, p2, bsk_bal)
-            jax.block_until_ready(out)
+            out = fn(acc0, xpow, bsk_bal)
+            fetch(out)
             times.append(time.perf_counter() - t0)
         best = min(times)
         print(

@@ -32,6 +32,31 @@ from tfhe_omr_tpu.ops.modmath import PrimeField
 from tfhe_omr_tpu.ops.ntt import NegacyclicNtt
 
 
+def make_x_power(field: PrimeField, ntt):
+    """Returns build_x(amounts (rows, B) in [0, 2N)) -> x = psi^a in
+    [0, q), storage dtype — the 11-step square-and-multiply ladder of
+    make_mono_powers WITHOUT materializing the power tables (the fused L1
+    kernel now builds those in VMEM; PERF_NOTES round-3)."""
+    two_n = 2 * ntt.n
+    log2n = two_n.bit_length() - 1
+    q = field.q
+    psi_pows2 = [pow(ntt.psi, 1 << j, q) for j in range(log2n)]
+    psi_pows2_sh = [int(field.shoup(w)) for w in psi_pows2]
+
+    def build_x(amounts):
+        one = jnp.ones(amounts.shape, dtype=field.storage_dtype)
+        x = one
+        for j in range(log2n):
+            bit = ((amounts >> j) & 1).astype(bool)
+            stepped = field.mul_shoup(
+                x, jnp.int64(psi_pows2[j]), jnp.int64(psi_pows2_sh[j])
+            )
+            x = jnp.where(bit, stepped, x)
+        return x
+
+    return build_x
+
+
 def make_fused_blind_rotate(
     field: PrimeField,
     ntt,
@@ -53,7 +78,7 @@ def make_fused_blind_rotate(
         field, ntt, gadget.d, gadget.log_b, interpret=interpret,
         rows=3 if paired else 1, single_dot=single_dot,
     )
-    build_tables, _ = make_mono_powers(field, ntt)
+    build_x = make_x_power(field, ntt)
     two_n = 2 * ntt.n
 
     def blind_rotate(acc, amounts, bsk_bal, tables=None):
@@ -66,19 +91,15 @@ def make_fused_blind_rotate(
             amounts = jnp.stack([a0, a1, a01], axis=1).reshape(
                 3 * (n_lwe // 2), amounts.shape[1]
             )
-        p1, p2 = build_tables(amounts)
+        # only x = psi^a leaves XLA; the kernel builds the power tables
+        # in VMEM (the HBM-materialized tables cost 0.27 ms/msg)
+        x = build_x(amounts).astype(jnp.int32)
         if paired:
-            # (n_e, 3*n_steps, B) -> step-major (n_steps, 3, n_e, B)
-            n_steps = p1.shape[1] // 3
-            p1 = p1.transpose(1, 0, 2).reshape(n_steps, 3, *p1.shape[::2])
-            p2 = p2.transpose(1, 0, 2).reshape(n_steps, 3, *p2.shape[::2])
-        return fused(
-            acc.astype(jnp.int32),
-            p1.astype(jnp.int32),
-            p2.astype(jnp.int32),
-            bsk_bal,
-            tables=tables,
-        )
+            n_steps = x.shape[0] // 3
+            xpow = x.reshape(n_steps, 3, x.shape[1])
+        else:
+            xpow = x
+        return fused(acc.astype(jnp.int32), xpow, bsk_bal, tables=tables)
 
     blind_rotate.kernel = fused
     return blind_rotate

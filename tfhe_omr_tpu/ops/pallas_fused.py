@@ -411,7 +411,7 @@ class FusedBlindRotateL1:
 
         def kernel(
             w0f_ref, w1f_ref, w0i_ref, w1i_ref, ohlo_ref, ohhi_ref,
-            acc_ref, p1_ref, p2_ref, bsk_ref,
+            acc_ref, xp_ref, bsk_ref,
             o_ref,
             acc_s, dig_s, a_s, p_s, y_s, pg_s,
         ):
@@ -484,21 +484,44 @@ class FusedBlindRotateL1:
             if "mac" not in skip:
                 dn = a_s[:] if self.single_dot else dig_s[:]  # (N, jc*Bt)
                 kb = bsk_ref[0]  # rows=1: (N,32) int32; rows=3: (N,128) int16
+                if "mono" not in skip:
+                    # power tables P1[t] = x^t (t < n_lo) and
+                    # P2[u] = (x^n_lo)^u (u < n_hi) from x = psi^a, built
+                    # IN-KERNEL by log-depth doubling (exact balanced-limb
+                    # muls). Materializing these 96 planes in HBM outside
+                    # the kernel cost 0.27 ms/msg — ~25x their op floor
+                    # (PERF_NOTES round-3 mono-ladder finding).
+                    rb = self.rows * bt
+                    xf = xp_ref[0].reshape(1, rb)
+                    one_r = jnp.ones((1, rb), jnp.int32)
+                    blk1 = jnp.concatenate([one_r, xf], axis=0)
+                    xj = self._mul_balanced(xf, xf)  # x^2
+                    while blk1.shape[0] < self.n_lo:
+                        blk1 = jnp.concatenate(
+                            [blk1, self._mul_balanced(blk1, xj)], axis=0
+                        )
+                        xj = self._mul_balanced(xj, xj)
+                    # loop invariant leaves xj == x^{n_lo}
+                    blk2 = jnp.concatenate([one_r, xj], axis=0)
+                    yj = self._mul_balanced(xj, xj)
+                    while blk2.shape[0] < self.n_hi:
+                        blk2 = jnp.concatenate(
+                            [blk2, self._mul_balanced(blk2, yj)], axis=0
+                        )
+                        yj = self._mul_balanced(yj, yj)
                 for t in range(self.rows):
                     if "mono" not in skip:
-                        p1t = p1_ref[0, t] if self.rows == 3 else p1_ref[0]
-                        p2t = p2_ref[0, t] if self.rows == 3 else p2_ref[0]
+                        p1t = blk1[:, t * bt : (t + 1) * bt]
+                        p2t = blk2[:, t * bt : (t + 1) * bt]
                         sel1 = self._onehot_mono(ohlo_ref[:], p1t)
                         sel2 = self._onehot_mono(ohhi_ref[:], p2t)
                         mono = self._mul_balanced(sel1, sel2) - 1
                         mono = mono + q32 * (mono < 0)
                     else:
-                        p1t = (
-                            p1_ref[0, t, 0:1, :]
-                            if self.rows == 3
-                            else p1_ref[0, 0:1, :]
+                        xrow = (
+                            xp_ref[0, t] if self.rows == 3 else xp_ref[0]
                         )
-                        mono = p1t + jnp.zeros((n, bt), jnp.int32)
+                        mono = xrow[None, :] + jnp.zeros((n, bt), jnp.int32)
                     m_lo, m_hi = self._balance(mono)
                     g = [
                         [jnp.zeros((n, bt), dtype=jnp.int32) for _ in range(3)]
@@ -587,19 +610,15 @@ class FusedBlindRotateL1:
             def _():
                 o_ref[:] = new_acc
 
-        def call(acc, p1, p2, bsk_bal, tables):
+        def call(acc, xpow, bsk_bal, tables):
             """acc (N, 2, B) int32; tables = (w0f, w1f, w0i, w1i, oh_lo,
             oh_hi) matching :attr:`host_tables` shapes.
 
-            rows=1: p1 (n_lo, n_steps, B) int32, p2 (n_hi, n_steps, B),
-            bsk_bal (n_steps, N, 32) int32.
-            rows=3: p1 (n_steps, 3, n_lo, B) int32 (already step-major),
-            p2 (n_steps, 3, n_hi, B), bsk_bal (n_steps, N, 128) int16.
-            -> (N, 2, B) int32."""
+            rows=1: xpow (n_steps, B) int32 — x = psi^a per step in [0, q).
+            rows=3: xpow (n_steps, 3, B) int32, step-major rows
+            [x^{a0}, x^{a1}, x^{a0+a1}]; bsk_bal (n_steps, N, 128) int16.
+            -> (N, 2, B) int32. Power TABLES are built in-kernel."""
             w0f, w1f, w0i, w1i, oh_lo, oh_hi = tables
-            if self.rows == 1:
-                p1 = p1.transpose(1, 0, 2)  # (n_steps, n_lo, B)
-                p2 = p2.transpose(1, 0, 2)
             n_, _, b = acc.shape
             acc = acc.transpose(1, 0, 2)  # (2, N, B)
             n_steps = bsk_bal.shape[0]
@@ -614,25 +633,15 @@ class FusedBlindRotateL1:
             )
             bw = bsk_bal.shape[-1]
             if self.rows == 3:
-                p1_spec = pl.BlockSpec(
-                    (1, 3, self.n_lo, tile),
-                    lambda i, s: (s.astype(i32), i32(0), i32(0), i.astype(i32)),
-                    memory_space=pltpu.VMEM,
-                )
-                p2_spec = pl.BlockSpec(
-                    (1, 3, self.n_hi, tile),
-                    lambda i, s: (s.astype(i32), i32(0), i32(0), i.astype(i32)),
+                xp_spec = pl.BlockSpec(
+                    (1, 3, tile),
+                    lambda i, s: (s.astype(i32), i32(0), i.astype(i32)),
                     memory_space=pltpu.VMEM,
                 )
             else:
-                p1_spec = pl.BlockSpec(
-                    (1, self.n_lo, tile),
-                    lambda i, s: (s.astype(i32), i32(0), i.astype(i32)),
-                    memory_space=pltpu.VMEM,
-                )
-                p2_spec = pl.BlockSpec(
-                    (1, self.n_hi, tile),
-                    lambda i, s: (s.astype(i32), i32(0), i.astype(i32)),
+                xp_spec = pl.BlockSpec(
+                    (1, tile),
+                    lambda i, s: (s.astype(i32), i.astype(i32)),
                     memory_space=pltpu.VMEM,
                 )
             bsk_spec = pl.BlockSpec(
@@ -656,8 +665,7 @@ class FusedBlindRotateL1:
                         lambda i, s: (i32(0), i32(0), i.astype(i32)),
                         memory_space=pltpu.VMEM,
                     ),
-                    p1_spec,
-                    p2_spec,
+                    xp_spec,
                     bsk_spec,
                 ],
                 out_specs=pl.BlockSpec(
@@ -684,15 +692,15 @@ class FusedBlindRotateL1:
                     vmem_limit_bytes=123 * 1024 * 1024,
                 ),
                 interpret=self.interpret,
-            )(w0f, w1f, w0i, w1i, oh_lo, oh_hi, acc, p1, p2, bsk_bal)
+            )(w0f, w1f, w0i, w1i, oh_lo, oh_hi, acc, xpow, bsk_bal)
             return out.transpose(1, 0, 2)
 
         return call
 
-    def __call__(self, acc, p1, p2, bsk_bal, tables=None):
+    def __call__(self, acc, xpow, bsk_bal, tables=None):
         if tables is None:
             tables = self.host_tables
-        return self._call(acc, p1, p2, bsk_bal, tables)
+        return self._call(acc, xpow, bsk_bal, tables)
 
 
 # ---------------------------------------------------------------------------
