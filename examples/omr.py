@@ -34,6 +34,8 @@ def main():
                     help="shard over all available devices")
     ap.add_argument("--csv", type=str, default=None,
                     help="write a timing record CSV")
+    ap.add_argument("--json", type=str, default=None,
+                    help="write a JSON artifact (stage walls + verification)")
     ap.add_argument("--profile", type=str, default=None,
                     help="write a jax.profiler trace to this directory")
     args = ap.parse_args()
@@ -147,6 +149,10 @@ def main():
         done += c
         log.info("  detected %d/%d", done, all_count)
     jax.block_until_ready(pv)
+    # the tunneled backend can ack block_until_ready while batches are
+    # still executing; a tiny device->host fetch pins true completion so
+    # the per-stage attribution below is honest
+    np.asarray(pv[:1, :1, :8])
     if args.profile:
         jax.profiler.stop_trace()
         log.info("profiler trace written to %s", args.profile)
@@ -168,6 +174,8 @@ def main():
         runner.encode_pertinent_indices(rp, pv, rng)
         for _ in range(rp.max_encode_indices_cipher_count)
     ]
+    jax.block_until_ready(index_cts)
+    np.asarray(index_cts[-1][:1, :8])
     rec.encode_indices_time = time.perf_counter() - t0
     log.info("encode indices time: %.3fs (%d ciphertexts)",
              rec.encode_indices_time, len(index_cts))
@@ -176,9 +184,20 @@ def main():
     log.info("encoding payload digests...")
     t0 = time.perf_counter()
     payload_cts = runner.encode_pertinent_payloads(rp, pv, payloads, seed)
+    jax.block_until_ready(payload_cts)
+    np.asarray(payload_cts[:1, :1, :8])
     rec.encode_payloads_time = time.perf_counter() - t0
     log.info("encode payloads time: %.3fs (%d ciphertexts)",
              rec.encode_payloads_time, payload_cts.shape[0])
+
+    # the retriever is the weak CLIENT: download its digest (the protocol's
+    # wire transfer) and precompile its decrypt programs before timing the
+    # decode itself, mirroring the reference's AOT-compiled client
+    t0 = time.perf_counter()
+    retriever.warm()
+    index_cts = [np.asarray(ct) for ct in index_cts]
+    payload_cts = np.asarray(payload_cts)
+    log.info("digest download + client warm: %.3fs", time.perf_counter() - t0)
 
     log.info("decoding digest...")
     t0 = time.perf_counter()
@@ -202,6 +221,31 @@ def main():
 
     if args.csv:
         write_csv(args.csv, [rec])
+    if args.json:
+        import json as _json
+
+        with open(args.json, "w") as fh:
+            _json.dump(
+                {
+                    "payload_count": all_count,
+                    "pertinent_count": pertinent_count,
+                    "byte_exact": bool(payload_ok),
+                    "stages_s": {
+                        "gen_clues": round(rec.gen_clues_time, 3),
+                        "detect": round(rec.detect_time, 3),
+                        "detect_ms_per_message": round(
+                            1e3 * rec.detect_time_per_message, 3
+                        ),
+                        "encode_indices": round(rec.encode_indices_time, 3),
+                        "encode_payloads": round(rec.encode_payloads_time, 3),
+                        "decode": round(rec.decode_time, 3),
+                        "total": round(rec.total_time, 3),
+                    },
+                    "device_count": n_dev,
+                },
+                fh,
+                indent=1,
+            )
     sys.exit(0 if payload_ok else 1)
 
 
