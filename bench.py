@@ -98,6 +98,9 @@ def main():
         )
         pert = jax.block_until_ready(hi % q2)  # synthetic NTT-domain cts
         enc_rng = np.random.default_rng(7)
+        # AOT-restore the encoder scan programs (one-time export on cache
+        # miss; the payload scan alone traces+compiles for minutes cold)
+        detector.warm_encoders(rp, d_scale)
         # warm (compile) then measure one index ct
         ct = detector.encode_pertinent_indices(rp, pert, enc_rng)
         jax.block_until_ready(ct)

@@ -165,6 +165,12 @@ def main():
     retriever = skp.generate_retriever(all_count, pertinent_count)
     rp = retriever.params
 
+    if not (args.sharded and n_dev > 1):
+        t0 = time.perf_counter()
+        enc_aot = detector.warm_encoders(rp, all_count)
+        log.info("encoder AOT warm (%s) in %.1fs", enc_aot,
+                 time.perf_counter() - t0)
+
     log.info("encoding index digests...")
     t0 = time.perf_counter()
     # the runner (sharded or single-device) drives the digest encoders, so

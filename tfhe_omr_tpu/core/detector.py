@@ -519,6 +519,62 @@ class Detector:
             setattr(self, attr, ShapeDispatched(base, call, args))
         return status
 
+    def warm_encoders(self, retrieval_params, total: int, chunk: int = 2048):
+        """AOT-prepare the two whole-digest encoder scan programs for a
+        ``total``-message pertinency stack (same disk cache as
+        :meth:`warm`). The payload-scan program alone traces + compiles for
+        minutes at D=65536; this makes later processes load it in seconds.
+        """
+        import jax as _jax
+
+        from tfhe_omr_tpu.utils.aotcache import ShapeDispatched, cached_export
+
+        rp = retrieval_params
+        main = (total // chunk) * chunk
+        if main == 0:
+            return {}
+        sds = _jax.ShapeDtypeStruct
+        i64 = jnp.int64
+        tbl_s = _jax.tree_util.tree_map(
+            lambda x: sds(x.shape, x.dtype), self.tables
+        )
+        n2 = rp.polynomial_size
+        args_idx = (
+            sds((main, 2, n2), i64),
+            sds((main, rp.segment_per_cipher), i64),
+            sds((main,), i64),
+            sds((2, n2), i64),
+            rp.index_slots_per_bucket,
+            rp.segment_per_cipher,
+            chunk,
+            tbl_s,
+        )
+        args_pay = (
+            sds((main, 2, n2), i64),
+            sds((main, rp.payload_length), jnp.int16),
+            sds(
+                (rp.cmb_cipher_count, rp.cmb_count_per_cipher, main), i64
+            ),
+            sds((rp.cmb_cipher_count, 2, n2), i64),
+            rp.payload_length,
+            chunk,
+            tbl_s,
+        )
+        status = {}
+        for name, args, attr, statics in (
+            ("enc_idx_scan", args_idx, "_encode_idx_scan_jit", (4, 5, 6)),
+            ("enc_pay_scan", args_pay, "_encode_pay_scan_jit", (4, 5)),
+        ):
+            base = getattr(self, attr)
+            if isinstance(base, ShapeDispatched):
+                base = base._base
+            call, status[name] = cached_export(name, base, args)
+            setattr(
+                self, attr,
+                ShapeDispatched(base, call, args, static_argnums=statics),
+            )
+        return status
+
     # ------------------------------------------------------- digest encoder
     def build_index_plaintexts(
         self,

@@ -40,10 +40,10 @@ def _sig(args) -> str:
     leaves, treedef = jax.tree_util.tree_flatten(args)
     parts = [str(treedef)]
     for leaf in leaves:
-        parts.append(
-            f"{getattr(leaf, 'shape', ())}:"
-            f"{getattr(leaf, 'dtype', type(leaf).__name__)}"
-        )
+        if hasattr(leaf, "shape") and hasattr(leaf, "dtype"):
+            parts.append(f"{leaf.shape}:{leaf.dtype}")
+        else:  # static python values (e.g. jit static_argnums) by VALUE
+            parts.append(repr(leaf))
     return hashlib.sha256("|".join(parts).encode()).hexdigest()[:16]
 
 
@@ -94,16 +94,24 @@ def cached_export(name: str, jit_fn, sample_args, cache_dir: str | None = None):
 
 class ShapeDispatched:
     """Routes calls matching the AOT-prepared aval signature to the exported
-    program; anything else falls back to the original jit function."""
+    program; anything else falls back to the original jit function.
 
-    def __init__(self, base_jit, aot_call, sample_args):
+    ``static_argnums``: positions the original jit treats as static —
+    export bakes their values in, so the AOT call receives only the
+    dynamic arguments (the signature match still covers the static VALUES,
+    so a different static config falls back and retraces).
+    """
+
+    def __init__(self, base_jit, aot_call, sample_args, static_argnums=()):
         self._base = base_jit
         self._aot = aot_call
         self._sig = _sig(sample_args)
+        self._static = frozenset(static_argnums)
 
     def __call__(self, *args):
         if _sig(args) == self._sig:
-            return self._aot(*args)
+            dyn = [a for i, a in enumerate(args) if i not in self._static]
+            return self._aot(*dyn)
         return self._base(*args)
 
     def lower(self, *args):  # probes/AOT tooling reach the original
