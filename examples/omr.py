@@ -82,6 +82,18 @@ def main():
     t0 = time.perf_counter()
     aot = detector.warm(args.batch)
     log.info("AOT warm (%s) in %.1fs", aot, time.perf_counter() - t0)
+    from tfhe_omr_tpu.core.sender import ClueBatch as _CB
+
+    # execute one dummy batch so the stage executables LOAD outside the
+    # timed region (the tunneled backend bills ~1-2 min of executable
+    # deserialization to the first call)
+    t0 = time.perf_counter()
+    _warm_out = detector.detect(_CB(
+        np.zeros((args.batch, params.clue_params.dimension), np.int64),
+        np.zeros((args.batch, params.clue_count), np.int64),
+    ))
+    np.asarray(_warm_out[:1, :1, :8])
+    log.info("executable load + first batch: %.1fs", time.perf_counter() - t0)
 
     rng = np.random.default_rng()
     pertinent = np.zeros(all_count, dtype=bool)
@@ -169,6 +181,21 @@ def main():
         t0 = time.perf_counter()
         enc_aot = detector.warm_encoders(rp, all_count)
         log.info("encoder AOT warm (%s) in %.1fs", enc_aot,
+                 time.perf_counter() - t0)
+        # load + run the encoder executables once on a zero stack so the
+        # timed encodes below are steady-state
+        t0 = time.perf_counter()
+        _zero_pert = jnp.zeros_like(pv)
+        _ct = detector.encode_pertinent_indices(
+            rp, _zero_pert, np.random.default_rng(0)
+        )
+        _pc = detector.encode_pertinent_payloads(
+            rp, _zero_pert, np.zeros_like(payloads), 0
+        )
+        jax.block_until_ready((_ct, _pc))
+        np.asarray(_pc[:1, :1, :8])
+        del _zero_pert
+        log.info("encoder executable load + warm run: %.1fs",
                  time.perf_counter() - t0)
 
     log.info("encoding index digests...")
