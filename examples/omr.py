@@ -36,6 +36,9 @@ def main():
                     help="write a timing record CSV")
     ap.add_argument("--json", type=str, default=None,
                     help="write a JSON artifact (stage walls + verification)")
+    ap.add_argument("--host-clues", action="store_true",
+                    help="generate clues with host numpy (client mode) "
+                         "instead of the on-device batch program")
     ap.add_argument("--profile", type=str, default=None,
                     help="write a jax.profiler trace to this directory")
     args = ap.parse_args()
@@ -103,8 +106,16 @@ def main():
 
     log.info("generating clues...")
     t0 = time.perf_counter()
-    own = sender.gen_clues(int(pertinent.sum()), rng)
-    other = sender2.gen_clues(int((~pertinent).sum()), rng)
+    if args.host_clues:
+        own = sender.gen_clues(int(pertinent.sum()), rng)
+        other = sender2.gen_clues(int((~pertinent).sum()), rng)
+    else:  # device path: whole-batch int8 MXU dots (default)
+        own = sender.gen_clues_device(
+            int(pertinent.sum()), int(rng.integers(1 << 62))
+        )
+        other = sender2.gen_clues_device(
+            int((~pertinent).sum()), int(rng.integers(1 << 62))
+        )
     a = np.zeros((all_count, own.a.shape[1]), dtype=np.int64)
     b7 = np.zeros((all_count, own.b7.shape[1]), dtype=np.int64)
     a[pertinent], b7[pertinent] = own.a, own.b7

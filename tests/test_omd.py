@@ -48,6 +48,29 @@ def test_omd_tiny(noise_free):
     assert not decoded[2:].any()
 
 
+def test_omd_device_clues():
+    """The omd oracle with ON-DEVICE clue generation (Sender
+    .gen_clues_device): device-sampled masks/noise must decrypt exactly
+    like the host path (counterpart of ``examples/omr.rs:126-135``)."""
+    params = OmrParameters.tiny()
+    skp = SecretKeyPack(params, rng=3)
+    skp2 = SecretKeyPack(params, rng=4)
+    sender = skp.generate_sender()
+    sender2 = skp2.generate_sender()
+    detector = skp.generate_detector()
+    batch = ClueBatch.concat(
+        [sender.gen_clues_device(2, seed=7), sender2.gen_clues_device(2, seed=8)]
+    )
+    dec = skp.decrypt_rlwe2_ntt(detector.detect(batch))
+    q = params.q2
+    t = params.output_plain_modulus
+    decoded = np.mod((dec * (2 * t) + q) // (2 * q), t)
+    for i in (0, 1):
+        assert decoded[i, 0] == 1, decoded[i, :8]
+        assert not decoded[i, 1:].any()
+    assert not decoded[2:].any()
+
+
 @pytest.mark.slow
 def test_omd_default_params():
     """The reference parameter set end-to-end (slow on CPU)."""

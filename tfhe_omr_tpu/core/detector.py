@@ -515,7 +515,12 @@ class Detector:
             base = getattr(self, attr)
             if isinstance(base, ShapeDispatched):
                 base = base._base
-            call, status[name] = cached_export(name, base, args)
+            # repr(params) keys the cache on every baked-in constant
+            # (moduli, gadget config, inter_offset) — shape/dtype-identical
+            # parameter sets must not share executables
+            call, status[name] = cached_export(
+                name, base, args, extra=repr(p)
+            )
             setattr(self, attr, ShapeDispatched(base, call, args))
         return status
 
@@ -568,7 +573,9 @@ class Detector:
             base = getattr(self, attr)
             if isinstance(base, ShapeDispatched):
                 base = base._base
-            call, status[name] = cached_export(name, base, args)
+            call, status[name] = cached_export(
+                name, base, args, extra=repr(self.ctx.params)
+            )
             setattr(
                 self, attr,
                 ShapeDispatched(base, call, args, static_argnums=statics),

@@ -42,6 +42,7 @@ class Sender:
     def __init__(self, clue_key: ClueKey, params: OmrParameters):
         self.clue_key = clue_key
         self.params = params
+        self._device_prog = None
 
     def gen_clues(self, count: int, rng: np.random.Generator) -> ClueBatch:
         """Encrypt ``count`` all-zero clue vectors under this sender's key."""
@@ -57,6 +58,74 @@ class Sender:
         b7 = np.mod(u @ k.mat_b7 + e_b, q0)
         # messages are all zero -> no Delta*m term (``clue.rs:27-34``)
         return ClueBatch(a=a, b7=b7)
+
+    # --------------------------------------------------------- device path
+    def _build_device(self):
+        """One-time: jitted whole-batch clue generation on the accelerator.
+
+        The host path is a (D, n) x (n, n) int64 numpy matmul — no BLAS
+        kernel exists for int64, so at D=65536 it runs ~60 s on a 2-core
+        host while the chip idles. Here the masks u are threefry-sampled
+        in-graph, the public-key matmul runs as two int8 MXU plane dots
+        (entries < 2**11 = lo 7 + hi 4 bits; binary u is one plane), and
+        the rounded Gaussian noise is added mod q0. Same ciphertext
+        distribution as the host path (``clue.rs:26-34``); a clue decrypts
+        to 0 + noise under the clue secret either way.
+        """
+        import jax
+        import jax.numpy as jnp
+        from functools import partial
+
+        k = self.clue_key
+        n = k.mat_a.shape[0]
+        q0 = k.q0
+        noise_std = float(k.noise_std)
+        mat = np.concatenate([k.mat_a, k.mat_b7], axis=1)  # (n, n + c)
+        mat_lo = (mat & 127).astype(np.int8)
+        mat_hi = (mat >> 7).astype(np.int8)
+
+        @partial(jax.jit, static_argnums=(1,))
+        def prog(key, count, lo, hi):
+            ku, ka, kb = jax.random.split(key, 3)
+            u = jax.random.bernoulli(ku, 0.5, (count, n)).astype(jnp.int8)
+            dots = [
+                jax.lax.dot_general(
+                    u, pv, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.int32,
+                )
+                for pv in (lo, hi)
+            ]
+            r = dots[0] + (dots[1] << 7)
+            if noise_std > 0.0:
+                e_a = jnp.round(
+                    noise_std * jax.random.normal(ka, (count, n))
+                ).astype(jnp.int32)
+                e_b = jnp.round(
+                    noise_std
+                    * jax.random.normal(kb, (count, k.clue_count))
+                ).astype(jnp.int32)
+                e = jnp.concatenate([e_a, e_b], axis=1)
+                r = r + e
+            return (r & (q0 - 1)).astype(jnp.int64)
+
+        lo_d = jax.device_put(mat_lo)
+        hi_d = jax.device_put(mat_hi)
+        return lambda key, count: prog(key, count, lo_d, hi_d)
+
+    def gen_clues_device(self, count: int, seed: int) -> ClueBatch:
+        """Whole-batch clue generation on the accelerator (jitted).
+
+        Counterpart of the reference's rayon-parallel gen_clues loop
+        (``examples/omr.rs:126-135``) at TPU speed; returns host arrays in
+        the same ClueBatch layout as :meth:`gen_clues`.
+        """
+        import jax
+
+        if self._device_prog is None:
+            self._device_prog = self._build_device()
+        out = np.asarray(self._device_prog(jax.random.PRNGKey(seed), count))
+        n = self.clue_key.mat_a.shape[0]
+        return ClueBatch(a=out[:, :n], b7=out[:, n:])
 
     def clue_key_size(self) -> int:
         """Bytes of the public key (counterpart of ``Size`` accounting)."""

@@ -38,14 +38,15 @@ int64_t inv_mod(int64_t a, int64_t p) {
 
 // Run fn(lo, hi) over [0, n) split across up to max_threads workers
 // (counterpart of the reference client's rayon parallelism). Threads only
-// pay off when each worker gets a substantial span of the payload axis;
-// small problems run inline.
-void parallel_for(int64_t n, int max_threads,
+// pay off when the TOTAL work per call (``work`` ~ touched elements, not
+// just the split axis n — the production RHS pass is rows x plen) clears
+// the spawn cost; small problems run inline.
+void parallel_for(int64_t n, int max_threads, int64_t work,
                   const std::function<void(int64_t, int64_t)>& fn) {
   unsigned hw = std::thread::hardware_concurrency();
   int nt = static_cast<int>(hw == 0 ? 1 : hw);
   if (nt > max_threads) nt = max_threads;
-  if (nt <= 1 || n < 4096) {
+  if (nt <= 1 || work < 4096) {
     fn(0, n);
     return;
   }
@@ -93,6 +94,7 @@ int omr_solve_matrix(int64_t* m, int64_t* r, int64_t rows, int64_t cols,
     int64_t piv = -1, inv = -1;
     for (int64_t rr = c; rr < rows; ++rr) {
       int64_t v = m[rr * cols + c] % p;
+      if (v < 0) v += p;  // entries need not be pre-reduced to [0, p)
       inv = tab ? (tab[v] != 0 ? tab[v] : -1) : inv_mod(v, p);
       if (inv >= 1) {  // an inverse is always >= 1 when it exists
         piv = rr;
@@ -119,7 +121,7 @@ int omr_solve_matrix(int64_t* m, int64_t* r, int64_t rows, int64_t cols,
         m[rr * cols + k] = v < 0 ? v + p : v;
       }
     }
-    parallel_for(plen, 8, [&](int64_t lo, int64_t hi) {
+    parallel_for(plen, 8, (rows - c - 1) * plen, [&](int64_t lo, int64_t hi) {
       for (int64_t rr = c + 1; rr < rows; ++rr) {
         int64_t f = factors[rr];
         if (f == 0) continue;
@@ -136,7 +138,7 @@ int omr_solve_matrix(int64_t* m, int64_t* r, int64_t rows, int64_t cols,
       factors[rr] = m[rr * cols + c] % p;
       m[rr * cols + c] = 0;
     }
-    parallel_for(plen, 8, [&](int64_t lo, int64_t hi) {
+    parallel_for(plen, 8, c * plen, [&](int64_t lo, int64_t hi) {
       for (int64_t rr = 0; rr < c; ++rr) {
         int64_t f = factors[rr];
         if (f == 0) continue;

@@ -56,12 +56,20 @@ def default_cache_dir() -> str:
     return d
 
 
-def cached_export(name: str, jit_fn, sample_args, cache_dir: str | None = None):
+def cached_export(name: str, jit_fn, sample_args, cache_dir: str | None = None,
+                  extra: str = ""):
     """A jitted callable for ``jit_fn`` specialized to ``sample_args``'
     avals, loading the lowered program from disk when available.
 
     ``sample_args`` may be (pytrees of) ``jax.ShapeDtypeStruct`` — no real
     data needed. Returns ``(callable, "hit"|"miss")``.
+
+    ``extra`` must carry every configuration value the traced program bakes
+    in as a constant but that is NOT visible in the input avals — e.g. a
+    canonical serialization of the cryptographic parameter set (moduli,
+    gadget config, offsets). Two parameter sets with identical array
+    shapes/dtypes would otherwise silently share cached executables and
+    produce wrong ciphertexts.
     """
     from jax import export as jexport
 
@@ -75,6 +83,7 @@ def cached_export(name: str, jit_fn, sample_args, cache_dir: str | None = None):
             jax.default_backend(),
             getattr(dev, "device_kind", "?").replace(" ", "_"),
             code_fingerprint(),
+            hashlib.sha256(extra.encode()).hexdigest()[:12],
             _sig(sample_args),
         ]
     )
@@ -108,11 +117,13 @@ class ShapeDispatched:
         self._sig = _sig(sample_args)
         self._static = frozenset(static_argnums)
 
-    def __call__(self, *args):
-        if _sig(args) == self._sig:
+    def __call__(self, *args, **kwargs):
+        # kwarg-carrying calls can't be signature-matched positionally;
+        # route them to the base jit instead of raising
+        if not kwargs and _sig(args) == self._sig:
             dyn = [a for i, a in enumerate(args) if i not in self._static]
             return self._aot(*dyn)
-        return self._base(*args)
+        return self._base(*args, **kwargs)
 
     def lower(self, *args):  # probes/AOT tooling reach the original
         return self._base.lower(*args)
