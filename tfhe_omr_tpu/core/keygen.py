@@ -163,14 +163,38 @@ class _BskPrograms:
             return tuple(out)
 
         self._bsk_prog = jax.jit(bsk_prog)
+        # cache key: every constant the trace bakes in beyond the avals
+        self._extra = (
+            f"bsk-q{q}-b{gadget.log_b}-d{d}-s{self.noise_std}"
+            f"-bal{make_bal is not None}-ntt{type(ntt).__name__}"
+        )
+        self._cached = None
 
     def __call__(self, s_msgs, z_f, z_ntt, seed: int):
-        return self._bsk_prog(
+        import os
+
+        args = (
             jnp.asarray(np.asarray(s_msgs, dtype=np.int64)),
             jnp.asarray(np.asarray(z_f, dtype=np.int64)),
             z_ntt,
             jnp.int64(seed),
         )
+        if os.environ.get("TFHE_OMR_KEYGEN_AOT") == "0":
+            return self._bsk_prog(*args)
+        if self._cached is None:
+            # fresh processes skip the trace+lower of the keygen programs
+            # (the executable itself comes from the persistent XLA cache)
+            import jax
+
+            from tfhe_omr_tpu.utils.aotcache import cached_export
+
+            sample = jax.tree_util.tree_map(
+                lambda x: jax.ShapeDtypeStruct(jnp.shape(x), x.dtype), args
+            )
+            self._cached, _ = cached_export(
+                "keygen_bsk", self._bsk_prog, sample, extra=self._extra
+            )
+        return self._cached(*args)
 
 
 class SecretKeyPack:
@@ -438,10 +462,23 @@ class SecretKeyPack:
                 out.append(make_trace_balanced_jnp(kst, q))
             return tuple(out)
 
+        import os
+
         seed = int(rng.integers(0, 1 << 62))
-        return jax.jit(trace_prog)(
-            jnp.asarray(sig), self.z2_ntt, jnp.int64(seed)
+        args = (jnp.asarray(sig), self.z2_ntt, jnp.int64(seed))
+        jitted = jax.jit(trace_prog)
+        if os.environ.get("TFHE_OMR_KEYGEN_AOT") == "0":
+            return jitted(*args)
+        from tfhe_omr_tpu.utils.aotcache import cached_export
+
+        sample = jax.tree_util.tree_map(
+            lambda x: jax.ShapeDtypeStruct(jnp.shape(x), x.dtype), args
         )
+        call, _ = cached_export(
+            "keygen_trace", jitted, sample,
+            extra=f"trace-q{q}-d{d}-s{noise_std}-bal{with_bal}",
+        )
+        return call(*args)
 
     # ------------------------------------------------------------ factories
     def generate_sender(self):

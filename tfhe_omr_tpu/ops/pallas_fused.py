@@ -1053,9 +1053,13 @@ class FusedBlindRotateL2:
         """(w0f, w1f, w0i, w1i, oh_lo, oh_hi), host numpy (see L1)."""
         pn = self.ntt
         if self.single_dot:
+            # BALANCED planes (|w| <= 64): groups of the 2048-deep dot
+            # against |digit| <= 64 data stay under 2**23, so the Horner
+            # can run paired (radix 14) — 4 folds and 4 live groups
+            # instead of 15 (which spilled past v5e's VMEM).
             # w1f is unused in single-dot forward mode; keep a tiny
             # placeholder so the kernel signature stays fixed
-            w0f, w1f = pn._wf_full, pn._w1_f[:1]
+            w0f, w1f = pn._wf_full_bal, pn._w1_f[:1]
         else:
             w0f, w1f = pn._w0_f, pn._w1_f
         return (w0f, w1f, pn._w0_i, pn._w1_i, self._oh_lo, self._oh_hi)
@@ -1102,16 +1106,27 @@ class FusedBlindRotateL2:
             # unrolled body spills hundreds of MB of vregs (PERF_NOTES.md).
             if "fwd" not in skip and self.single_dot:
                 # one (8N, N) int8 dot per column chunk; 2048-deep groups
-                # exceed the pairing bound, so the Horner runs at radix 7
-                xw = jc * bt
-                for s0 in range(0, xw, ch_w):
-                    e0 = min(xw, s0 + ch_w)
-                    x_chunk = dig_s[:, s0:e0].astype(jnp.int8)
+                # exceed the pairing bound, so the Horner runs at radix 7.
+                # Chunk = one lane tile and the loop is an in-kernel fori
+                # (dynamic slices are bt=128-aligned): a Python-unrolled
+                # loop kept several chunks' dot output + Horner groups live
+                # at once and blew v5e's VMEM (162 MB resp. 136 MB > 128 MB
+                # in the round-4 compile probes).
+                def sd_chunk(ci, _):
+                    cs = pl.ds(ci.astype(jnp.int32) * jnp.int32(bt), bt)
+                    x_chunk = dig_s[:, cs].astype(jnp.int8)
+                    # balanced weights x balanced digits: |group| <= 2048 *
+                    # 64 * 64 = 2**23, paired |group| <= 129 * 2**23 < 2**31
                     lo_o, hi_o = self._level_dot_dual(
-                        [x_chunk], w0f_ref[:], n, pair=False
+                        [x_chunk], w0f_ref[:], n, pair=True
                     )
-                    dig_s[:, s0:e0] = lo_o
-                    dnhi_s[:, s0:e0] = hi_o
+                    dig_s[:, cs] = lo_o
+                    dnhi_s[:, cs] = hi_o
+                    return jnp.int32(0)
+
+                jax.lax.fori_loop(
+                    jnp.int32(0), jnp.int32(jc), sd_chunk, jnp.int32(0)
+                )
             elif "fwd" not in skip:
 
                 def fwd_chunk(ci, _):

@@ -48,6 +48,28 @@ def _digit_plane_stack(mat: np.ndarray, levels: int) -> np.ndarray:
     return np.concatenate(planes, axis=0)
 
 
+def _digit_plane_stack_balanced(
+    mat: np.ndarray, levels: int, q: int
+) -> np.ndarray:
+    """Stack L BALANCED signed-7-bit planes (values in [-64, 64)) of the
+    centered representative of ``mat`` mod q. Same represented values as
+    :func:`_digit_plane_stack` mod q, but halved plane magnitude: dot-
+    product groups against |x| <= 64 data stay below 2**23 even at
+    2048-deep contractions, which keeps the radix-14 paired Horner legal
+    in the fused kernels' single-dot mode (unpaired 15-group recombination
+    blew v5e's VMEM with register spills — round-4 probes)."""
+    v = mat.astype(np.int64)
+    v = v - q * (v > q // 2)
+    planes = []
+    r = v
+    for _ in range(levels):
+        d = ((r + 64) & 127) - 64
+        planes.append(d.astype(np.int8))
+        r = (r - d) >> DIGIT_BITS
+    assert not r.any(), "levels too small for balanced planes"
+    return np.concatenate(planes, axis=0)
+
+
 class PallasNtt:
     """SmallFieldNtt-compatible NTT that runs as a fused Pallas kernel."""
 
@@ -113,6 +135,7 @@ class PallasNtt:
         mi = (pow2n[(-oj) % two_n] * self.n_inv) % q
         self._wf_full = _digit_plane_stack(mf, self.levels)
         self._wi_full = _digit_plane_stack(mi.T, self.levels)
+        self._wf_full_bal = _digit_plane_stack_balanced(mf, self.levels, q)
 
         self._fwd_call = self._make_call(inverse=False)
         self._inv_call = self._make_call(inverse=True)
@@ -381,6 +404,9 @@ class PallasNtt50:
         oj = (self.orders[:, None] * np.arange(n, dtype=np.int64)[None, :]) % two_n
         self._wf_full = _digit_plane_stack(
             np.asarray(self._psi_pow_2n)[oj], self.levels
+        )
+        self._wf_full_bal = _digit_plane_stack_balanced(
+            np.asarray(self._psi_pow_2n)[oj], self.levels, self.field.q
         )
 
         self._fwd_call = self._make_call(inverse=False)
