@@ -175,6 +175,37 @@ def test_omd_default_params_on_hw(tpu_backend):
 
 
 @requires_tpu
+def test_sharded_detect_bit_identical_on_hw(tpu_backend):
+    """ShardedDetector (shard_map over a 1-device mesh on the REAL chip)
+    vs the plain Detector at the production bench batch — the shard_map x
+    Mosaic-kernel combination must stay bit-exact (round-3 VERDICT item 8:
+    previously only benches/sharding_bench.py exercised this; a regression
+    in how shard_map partitions the fused-kernel programs would have
+    shipped silently). Reduce counterpart at reference
+    ``detector.rs:333-336``."""
+    import jax
+
+    from tfhe_omr_tpu.core.keygen import SecretKeyPack
+    from tfhe_omr_tpu.core.params import OmrParameters
+    from tfhe_omr_tpu.parallel import ShardedDetector, make_data_mesh
+
+    batch = 1024
+    params = OmrParameters.default()
+    skp = SecretKeyPack(params, rng=0)
+    detector = skp.generate_detector()
+    clues = skp.generate_sender().gen_clues(batch, np.random.default_rng(1))
+
+    detector.warm(batch)
+    out = detector.detect(clues)
+    jax.block_until_ready(out)
+
+    sd = ShardedDetector(detector, make_data_mesh())
+    out_s = sd.detect(clues)
+    jax.block_until_ready(out_s)
+    assert np.array_equal(np.asarray(out), np.asarray(out_s))
+
+
+@requires_tpu
 def test_mini_roundtrip_on_hw(tpu_backend):
     """Mini end-to-end round trip (D=128, k=8) on the real chip."""
     from tests.test_omr_roundtrip import run_omr
