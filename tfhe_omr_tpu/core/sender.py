@@ -60,8 +60,14 @@ class Sender:
         return ClueBatch(a=a, b7=b7)
 
     # --------------------------------------------------------- device path
+    #: fixed device-program chunk: ONE compiled shape serves every count
+    #: (a one-off (count, n) shape paid a fresh ~3 min tunneled compile at
+    #: D=65536 in the first round-4 e2e run; 8192 rows generate in ms so
+    #: padding small counts up costs nothing)
+    CHUNK = 8192
+
     def _build_device(self):
-        """One-time: jitted whole-batch clue generation on the accelerator.
+        """One-time: jitted chunked clue generation on the accelerator.
 
         The host path is a (D, n) x (n, n) int64 numpy matmul — no BLAS
         kernel exists for int64, so at D=65536 it runs ~60 s on a 2-core
@@ -70,24 +76,28 @@ class Sender:
         (entries < 2**11 = lo 7 + hi 4 bits; binary u is one plane), and
         the rounded Gaussian noise is added mod q0. Same ciphertext
         distribution as the host path (``clue.rs:26-34``); a clue decrypts
-        to 0 + noise under the clue secret either way.
+        to 0 + noise under the clue secret either way. The single
+        (CHUNK, n) program is restored from the lowered-program disk cache
+        (utils.aotcache) so fresh processes skip its trace+compile.
         """
+        import os
+
         import jax
         import jax.numpy as jnp
-        from functools import partial
 
         k = self.clue_key
         n = k.mat_a.shape[0]
         q0 = k.q0
+        cnt = self.CHUNK
         noise_std = float(k.noise_std)
         mat = np.concatenate([k.mat_a, k.mat_b7], axis=1)  # (n, n + c)
         mat_lo = (mat & 127).astype(np.int8)
         mat_hi = (mat >> 7).astype(np.int8)
 
-        @partial(jax.jit, static_argnums=(1,))
-        def prog(key, count, lo, hi):
+        @jax.jit
+        def prog(key, lo, hi):
             ku, ka, kb = jax.random.split(key, 3)
-            u = jax.random.bernoulli(ku, 0.5, (count, n)).astype(jnp.int8)
+            u = jax.random.bernoulli(ku, 0.5, (cnt, n)).astype(jnp.int8)
             dots = [
                 jax.lax.dot_general(
                     u, pv, (((1,), (0,)), ((), ())),
@@ -98,22 +108,36 @@ class Sender:
             r = dots[0] + (dots[1] << 7)
             if noise_std > 0.0:
                 e_a = jnp.round(
-                    noise_std * jax.random.normal(ka, (count, n))
+                    noise_std * jax.random.normal(ka, (cnt, n))
                 ).astype(jnp.int32)
                 e_b = jnp.round(
                     noise_std
-                    * jax.random.normal(kb, (count, k.clue_count))
+                    * jax.random.normal(kb, (cnt, k.clue_count))
                 ).astype(jnp.int32)
                 e = jnp.concatenate([e_a, e_b], axis=1)
                 r = r + e
             return (r & (q0 - 1)).astype(jnp.int64)
 
+        call = prog
+        if os.environ.get("TFHE_OMR_KEYGEN_AOT") != "0":
+            from tfhe_omr_tpu.utils.aotcache import cached_export
+
+            sample = (
+                jax.ShapeDtypeStruct((2,), jnp.uint32),
+                jax.ShapeDtypeStruct(mat_lo.shape, jnp.int8),
+                jax.ShapeDtypeStruct(mat_hi.shape, jnp.int8),
+            )
+            call, _ = cached_export(
+                "gen_clues", prog, sample,
+                extra=f"clues-q{q0}-n{n}-c{k.clue_count}-ch{cnt}"
+                      f"-s{noise_std}",
+            )
         lo_d = jax.device_put(mat_lo)
         hi_d = jax.device_put(mat_hi)
-        return lambda key, count: prog(key, count, lo_d, hi_d)
+        return lambda key: call(key, lo_d, hi_d)
 
     def gen_clues_device(self, count: int, seed: int) -> ClueBatch:
-        """Whole-batch clue generation on the accelerator (jitted).
+        """Batched clue generation on the accelerator (jitted, chunked).
 
         Counterpart of the reference's rayon-parallel gen_clues loop
         (``examples/omr.rs:126-135``) at TPU speed; returns host arrays in
@@ -123,7 +147,13 @@ class Sender:
 
         if self._device_prog is None:
             self._device_prog = self._build_device()
-        out = np.asarray(self._device_prog(jax.random.PRNGKey(seed), count))
+        base = jax.random.PRNGKey(seed)
+        chunks = []
+        for i in range(-(-count // self.CHUNK)):
+            out_d = self._device_prog(jax.random.fold_in(base, i))
+            chunks.append(np.asarray(out_d))
+        out = np.concatenate(chunks)[:count] if len(chunks) > 1 \
+            else chunks[0][:count]
         n = self.clue_key.mat_a.shape[0]
         return ClueBatch(a=out[:, :n], b7=out[:, n:])
 
