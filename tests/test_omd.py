@@ -71,6 +71,25 @@ def test_omd_device_clues():
     assert not decoded[2:].any()
 
 
+def test_device_clues_chunking_consistency():
+    """Chunked device clue generation is deterministic per seed and
+    count-prefix-consistent: chunks are keyed by fold_in(chunk index), so
+    requesting more clues must extend — not reshuffle — the stream (a
+    regression here would silently change which messages a fixed-seed
+    experiment marks pertinent)."""
+    params = OmrParameters.tiny()
+    sender = SecretKeyPack(params, rng=3).generate_sender()
+    small = sender.gen_clues_device(5, seed=11)
+    again = sender.gen_clues_device(5, seed=11)
+    np.testing.assert_array_equal(small.a, again.a)
+    np.testing.assert_array_equal(small.b7, again.b7)
+    # crosses a chunk boundary -> exercises multi-chunk concatenation
+    big = sender.gen_clues_device(sender.CHUNK + 7, seed=11)
+    np.testing.assert_array_equal(big.a[:5], small.a)
+    np.testing.assert_array_equal(big.b7[:5], small.b7)
+    assert big.a.shape[0] == sender.CHUNK + 7
+
+
 @pytest.mark.slow
 def test_omd_default_params():
     """The reference parameter set end-to-end (slow on CPU)."""
