@@ -116,7 +116,11 @@ class Sender:
                 ).astype(jnp.int32)
                 e = jnp.concatenate([e_a, e_b], axis=1)
                 r = r + e
-            return (r & (q0 - 1)).astype(jnp.int64)
+            # q0 is a power of two < 2**16 (CmLweCiphertext<u16>,
+            # ``clue.rs``): ship uint16 — the device->host fetch rides the
+            # tunneled link at 20-70 MB/s, and int64 output made the fetch
+            # (272 MB at D=65536) the entire warm gen_clues wall
+            return (r & (q0 - 1)).astype(jnp.uint16)
 
         call = prog
         if os.environ.get("TFHE_OMR_KEYGEN_AOT") != "0":
@@ -148,12 +152,17 @@ class Sender:
         if self._device_prog is None:
             self._device_prog = self._build_device()
         base = jax.random.PRNGKey(seed)
-        chunks = []
-        for i in range(-(-count // self.CHUNK)):
-            out_d = self._device_prog(jax.random.fold_in(base, i))
-            chunks.append(np.asarray(out_d))
+        # dispatch ALL chunks first (device compute is ms; the wall is the
+        # tunneled device->host fetch), then fetch — later chunks compute
+        # while earlier ones download
+        outs_d = [
+            self._device_prog(jax.random.fold_in(base, i))
+            for i in range(-(-count // self.CHUNK))
+        ]
+        chunks = [np.asarray(o) for o in outs_d]
         out = np.concatenate(chunks)[:count] if len(chunks) > 1 \
             else chunks[0][:count]
+        out = out.astype(np.int64)
         n = self.clue_key.mat_a.shape[0]
         return ClueBatch(a=out[:, :n], b7=out[:, n:])
 
