@@ -104,22 +104,42 @@ def main():
     rng.shuffle(pertinent)
     true_indices = sorted(np.nonzero(pertinent)[0].tolist())
 
+    import jax.numpy as jnp
+
     log.info("generating clues...")
+    n_dim = params.clue_params.dimension
+    n_pert = int(pertinent.sum())
     t0 = time.perf_counter()
     if args.host_clues:
-        own = sender.gen_clues(int(pertinent.sum()), rng)
-        other = sender2.gen_clues(int((~pertinent).sum()), rng)
-    else:  # device path: whole-batch int8 MXU dots (default)
-        own = sender.gen_clues_device(
-            int(pertinent.sum()), int(rng.integers(1 << 62))
+        own = sender.gen_clues(n_pert, rng)
+        other = sender2.gen_clues(all_count - n_pert, rng)
+        a = np.zeros((all_count, own.a.shape[1]), dtype=np.int64)
+        b7 = np.zeros((all_count, own.b7.shape[1]), dtype=np.int64)
+        a[pertinent], b7[pertinent] = own.a, own.b7
+        a[~pertinent], b7[~pertinent] = other.a, other.b7
+        clue_buf = None
+    else:
+        # device path (default): whole-batch int8 MXU dots, clues stay
+        # DEVICE-RESIDENT — detect consumes them in place, so the only
+        # host<->device clue traffic is a (D,) int32 permutation upload
+        # (a D=65536 clue fetch costs 6-20 s on the tunneled link)
+        own_d = sender.gen_clues_device_resident(
+            n_pert, int(rng.integers(1 << 62))
         )
-        other = sender2.gen_clues_device(
-            int((~pertinent).sum()), int(rng.integers(1 << 62))
+        other_d = sender2.gen_clues_device_resident(
+            all_count - n_pert, int(rng.integers(1 << 62))
         )
-    a = np.zeros((all_count, own.a.shape[1]), dtype=np.int64)
-    b7 = np.zeros((all_count, own.b7.shape[1]), dtype=np.int64)
-    a[pertinent], b7[pertinent] = own.a, own.b7
-    a[~pertinent], b7[~pertinent] = other.a, other.b7
+        perm = np.zeros(all_count, dtype=np.int32)
+        perm[pertinent] = np.arange(n_pert, dtype=np.int32)
+        perm[~pertinent] = n_pert + np.arange(
+            all_count - n_pert, dtype=np.int32
+        )
+        clue_buf = jnp.take(
+            jnp.concatenate([own_d, other_d]).astype(jnp.int64),
+            jnp.asarray(perm), axis=0,
+        )
+        jax.block_until_ready(clue_buf)
+        a = b7 = None
     rec.gen_clues_time = time.perf_counter() - t0
     log.info("gen clues time: %.3fs", rec.gen_clues_time)
 
@@ -132,8 +152,6 @@ def main():
         from tfhe_omr_tpu.parallel import ShardedDetector, make_data_mesh
 
         runner = ShardedDetector(detector, make_data_mesh())
-
-    import jax.numpy as jnp
 
     log.info("detecting...")
     if args.profile:
@@ -155,11 +173,26 @@ def main():
         ),
         donate_argnums=0,
     )
+    if clue_buf is not None and all_count % bsz:
+        # pad the device buffer once so every batch slice is full-size
+        clue_buf = jnp.concatenate([
+            clue_buf,
+            jnp.zeros((bsz - all_count % bsz, clue_buf.shape[1]),
+                      dtype=clue_buf.dtype),
+        ])
     for s in range(0, all_count, bsz):
         c = min(bsz, all_count - s)
         pad = bsz - c
-        ca = np.concatenate([a[s : s + c], np.zeros((pad, a.shape[1]), np.int64)])
-        cb = np.concatenate([b7[s : s + c], np.zeros((pad, b7.shape[1]), np.int64)])
+        if clue_buf is not None:  # device-resident slices, zero uploads
+            cab = jax.lax.dynamic_slice_in_dim(clue_buf, s, bsz)
+            ca, cb = cab[:, :n_dim], cab[:, n_dim:]
+        else:
+            ca = np.concatenate(
+                [a[s : s + c], np.zeros((pad, a.shape[1]), np.int64)]
+            )
+            cb = np.concatenate(
+                [b7[s : s + c], np.zeros((pad, b7.shape[1]), np.int64)]
+            )
         out = runner.detect(ClueBatch(ca, cb))
         if pv is None:
             pv = jnp.zeros(

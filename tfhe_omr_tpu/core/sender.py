@@ -140,29 +140,39 @@ class Sender:
         hi_d = jax.device_put(mat_hi)
         return lambda key: call(key, lo_d, hi_d)
 
+    def gen_clues_device_resident(self, count: int, seed: int):
+        """Device-RESIDENT batched clue generation: a (count, n + clue_count)
+        uint16 jnp array (columns = a | b7), never fetched to host.
+
+        The server-side pipeline (examples/omr.py) consumes clues straight
+        into detect, so fetching them is pure waste — the tunneled
+        device->host link runs at ~10-70 MB/s and a D=65536 fetch costs
+        6-20 s while generation itself is <1 s of device work.
+        """
+        import jax
+        import jax.numpy as jnp
+
+        if self._device_prog is None:
+            self._device_prog = self._build_device()
+        base = jax.random.PRNGKey(seed)
+        outs_d = [
+            self._device_prog(jax.random.fold_in(base, i))
+            for i in range(-(-count // self.CHUNK))
+        ]
+        out = jnp.concatenate(outs_d) if len(outs_d) > 1 else outs_d[0]
+        return out[:count]
+
     def gen_clues_device(self, count: int, seed: int) -> ClueBatch:
         """Batched clue generation on the accelerator (jitted, chunked).
 
         Counterpart of the reference's rayon-parallel gen_clues loop
         (``examples/omr.rs:126-135``) at TPU speed; returns host arrays in
-        the same ClueBatch layout as :meth:`gen_clues`.
+        the same ClueBatch layout as :meth:`gen_clues`. (Server pipelines
+        should prefer :meth:`gen_clues_device_resident` — see there.)
         """
-        import jax
-
-        if self._device_prog is None:
-            self._device_prog = self._build_device()
-        base = jax.random.PRNGKey(seed)
-        # dispatch ALL chunks first (device compute is ms; the wall is the
-        # tunneled device->host fetch), then fetch — later chunks compute
-        # while earlier ones download
-        outs_d = [
-            self._device_prog(jax.random.fold_in(base, i))
-            for i in range(-(-count // self.CHUNK))
-        ]
-        chunks = [np.asarray(o) for o in outs_d]
-        out = np.concatenate(chunks)[:count] if len(chunks) > 1 \
-            else chunks[0][:count]
-        out = out.astype(np.int64)
+        out = np.asarray(
+            self.gen_clues_device_resident(count, seed)
+        ).astype(np.int64)
         n = self.clue_key.mat_a.shape[0]
         return ClueBatch(a=out[:, :n], b7=out[:, n:])
 
