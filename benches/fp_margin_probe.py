@@ -21,7 +21,10 @@ Run on the TPU: python benches/fp_margin_probe.py
 max |residual| 49 of 64; non-pertinent sigma 11.1.)
 """
 
+import os
 import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 
