@@ -42,6 +42,34 @@ def test_warm_bit_exact_and_fallback(det_and_clues, tmp_path, monkeypatch):
     assert set(det.warm(16).values()) == {"hit"}
 
 
+def test_extra_key_separates_baked_constants(tmp_path, monkeypatch):
+    """Two programs with IDENTICAL input avals but different baked-in
+    constants must not share cache entries (advisor round-3 medium: two
+    parameter sets with the same shapes/dtypes silently sharing cached
+    executables would produce wrong ciphertexts with no error)."""
+    import jax
+    import jax.numpy as jnp
+
+    from tfhe_omr_tpu.utils.aotcache import cached_export
+
+    monkeypatch.setenv("TFHE_OMR_AOT_CACHE", str(tmp_path))
+    sample = (jax.ShapeDtypeStruct((4,), jnp.int64),)
+
+    def make(c):
+        return jax.jit(lambda x: x * c)
+
+    call_a, st_a = cached_export("t", make(3), sample, extra="q=3")
+    call_b, st_b = cached_export("t", make(5), sample, extra="q=5")
+    assert (st_a, st_b) == ("miss", "miss")
+    x = jnp.arange(4, dtype=jnp.int64)
+    np.testing.assert_array_equal(np.asarray(call_a(x)), [0, 3, 6, 9])
+    np.testing.assert_array_equal(np.asarray(call_b(x)), [0, 5, 10, 15])
+    # same extra -> disk hit restores the matching program
+    call_a2, st = cached_export("t", make(3), sample, extra="q=3")
+    assert st == "hit"
+    np.testing.assert_array_equal(np.asarray(call_a2(x)), [0, 3, 6, 9])
+
+
 def test_fingerprint_covers_package_sources():
     from tfhe_omr_tpu.utils import aotcache
 
