@@ -304,17 +304,53 @@ def main():
 
     rec.total_time = time.perf_counter() - total0
 
-    ok = indices == true_indices
-    payload_ok = ok and np.array_equal(solved, payloads[indices])
-    if not ok:
-        log.error("index mismatch: got %d, want %d", len(indices),
-                  len(true_indices))
-    elif not payload_ok:
+    # Verification semantics (counterpart of the reference's own subset
+    # assertion, ``examples/omr_time_analyze.rs:215-235``): the protocol has
+    # a DESIGNED false-positive rate of t^-clue_count = 8^-7 per message
+    # (``detector.rs:479-503``), so a decoded extra index is not a framework
+    # failure — it is a real board message the detector flagged, and its
+    # payload must still decode byte-exactly. The oracle is therefore:
+    #   true_indices  SUBSET OF  decoded, AND
+    #   every decoded index's payload == its board payload (byte-exact).
+    # Each extra index is then confirmed deterministically by decrypting its
+    # clue_count clues under the recipient key: a protocol FP has ALL of
+    # them decrypt to 0 (LUT1's accept value, ``detector.rs:457-476``).
+    true_set = set(true_indices)
+    missing = [i for i in true_indices if i not in set(indices)]
+    extras = [i for i in indices if i not in true_set]
+    subset_ok = not missing
+    payload_ok = np.array_equal(solved, payloads[indices])
+    fp_events = []
+    for i in extras:
+        if clue_buf is not None:
+            row = np.asarray(clue_buf[i]).astype(np.int64)
+            a_i, b_i = row[:n_dim], row[n_dim:]
+        else:
+            a_i, b_i = a[i], b7[i]
+        vals = skp.decrypt_compact_clue(a_i, b_i)
+        confirmed = bool((vals == 0).all())
+        fp_events.append({
+            "index": int(i),
+            "clue_values_mod_t": [int(v) for v in vals],
+            "protocol_fp_confirmed": confirmed,
+        })
+        (log.info if confirmed else log.error)(
+            "extra index %d: clue decryptions %s -> %s", i, list(vals),
+            "protocol false positive (all clues decrypt to 0)" if confirmed
+            else "NOT a clue collision - framework bug",
+        )
+    ok = subset_ok and payload_ok
+    if missing:
+        log.error("missing true indices: %s (decoded %d, true %d)",
+                  missing[:10], len(indices), len(true_indices))
+    if not payload_ok:
         diff = int((solved != payloads[indices]).sum())
         log.error("payload mismatch: %d differing bytes", diff)
-    else:
-        log.info("all %d payloads verified byte-wise. All done in %.1fs",
-                 len(indices), rec.total_time)
+    if ok:
+        log.info(
+            "all %d decoded payloads verified byte-wise (%d protocol FPs). "
+            "All done in %.1fs", len(indices), len(extras), rec.total_time,
+        )
 
     if args.csv:
         write_csv(args.csv, [rec])
@@ -327,6 +363,9 @@ def main():
                     "payload_count": all_count,
                     "pertinent_count": pertinent_count,
                     "byte_exact": bool(payload_ok),
+                    "true_subset_of_decoded": bool(subset_ok),
+                    "fp_count": len(extras),
+                    "fp_events": fp_events,
                     "stages_s": {
                         "gen_clues": round(rec.gen_clues_time, 3),
                         "detect": round(rec.detect_time, 3),
@@ -343,7 +382,7 @@ def main():
                 fh,
                 indent=1,
             )
-    sys.exit(0 if payload_ok else 1)
+    sys.exit(0 if ok else 1)
 
 
 if __name__ == "__main__":

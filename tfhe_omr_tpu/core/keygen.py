@@ -523,6 +523,27 @@ class SecretKeyPack:
         phase = np.mod(b - a_vec @ self.clue_sk, q0)
         return np.mod((phase * t * 2 + q0) // (2 * q0), t)
 
+    def decrypt_compact_clue(self, a_row: np.ndarray,
+                             b7_row: np.ndarray) -> np.ndarray:
+        """Extract + decrypt all ``clue_count`` LWE samples of ONE compact
+        clue ciphertext; returns their plaintexts mod t.
+
+        Counterpart of ``CmLweCiphertext::extract_all`` + ``decrypt``
+        (reference ``detector.rs:505-531``, ``key_gen/secret.rs:266-270``).
+        This is the deterministic per-event false-positive oracle: LUT1 maps
+        a clue value to +1 iff it decrypts to 0 (``detector.rs:457-476``)
+        and LUT2 accepts iff all ``clue_count`` clues did
+        (``detector.rs:479-503``), so the detector flags a message iff every
+        value returned here equals 0.
+        """
+        idx, neg = self.ctx.clue_extract_tables
+        q0 = self.params.clue_params.cipher_modulus
+        a_row = np.asarray(a_row, dtype=np.int64)
+        a_ext = np.mod(
+            np.where(neg == 1, -a_row[idx], a_row[idx]), q0
+        )  # (clue_count, n)
+        return self.decrypt_clue(a_ext, np.asarray(b7_row, dtype=np.int64))
+
     def decrypt_rlwe2_ntt(self, ct) -> np.ndarray:
         """Decrypt an NTT-domain second-level RLWE ct (B, 2, N2) -> plaintext
         coefficients mod q2 (message*Delta + noise). Tests/retriever helper."""

@@ -152,6 +152,12 @@ class Sender:
         import jax
         import jax.numpy as jnp
 
+        if count <= 0:
+            # all-pertinent boards request 0 decoy clues (examples/omr.py
+            # with -p >= D); keep the static-shape contract of returning a
+            # (0, n + clue_count) batch instead of indexing an empty list
+            n = self.clue_key.mat_a.shape[0]
+            return jnp.zeros((0, n + self.clue_key.clue_count), jnp.uint16)
         if self._device_prog is None:
             self._device_prog = self._build_device()
         base = jax.random.PRNGKey(seed)

@@ -21,7 +21,10 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+
+# jax.shard_map is the stable API (>= 0.6); the jax.experimental import
+# warns of removal. check_vma=False is the successor of check_rep=False.
+shard_map = jax.shard_map
 
 from tfhe_omr_tpu.core.detector import Detector
 from tfhe_omr_tpu.core.sender import ClueBatch
@@ -64,7 +67,7 @@ class ShardedDetector:
                 mesh=mesh,
                 in_specs=(P(axis_name), P(axis_name), P(), P()),
                 out_specs=P(axis_name),
-                check_rep=False,
+                check_vma=False,
             )
         )
 
@@ -93,7 +96,7 @@ class ShardedDetector:
                 mesh=mesh,
                 in_specs=(P(axis_name), P(axis_name), P()),
                 out_specs=P(),
-                check_rep=False,
+                check_vma=False,
             )
         )
 
@@ -139,13 +142,22 @@ class ShardedDetector:
         valid ciphertexts, so padding only costs compute)."""
         bsz = clues.a.shape[0]
         padded = self.pad(bsz)
-        a, b7 = np.asarray(clues.a), np.asarray(clues.b7)
+        a, b7 = clues.a, clues.b7
+        if self._multiproc or not isinstance(a, jax.Array):
+            # multi-controller global arrays are assembled from host copies
+            a, b7 = np.asarray(a), np.asarray(b7)
+            xp = np
+        else:
+            # device-resident clues stay on device: _shard resharding is a
+            # device-to-device put, so no host round-trip over the (slow,
+            # tunneled) link is reinstated for the sharded path
+            xp = jnp
         if padded != bsz:
-            a = np.concatenate(
-                [a, np.zeros((padded - bsz, a.shape[1]), a.dtype)]
+            a = xp.concatenate(
+                [a, xp.zeros((padded - bsz, a.shape[1]), a.dtype)]
             )
-            b7 = np.concatenate(
-                [b7, np.zeros((padded - bsz, b7.shape[1]), b7.dtype)]
+            b7 = xp.concatenate(
+                [b7, xp.zeros((padded - bsz, b7.shape[1]), b7.dtype)]
             )
         out = self._detect_sharded(
             self._shard(a), self._shard(b7), self.key, self.tables
@@ -215,7 +227,7 @@ class ShardedDetector:
                 mesh=self.mesh,
                 in_specs=(P(self.axis), P(self.axis), P(self.axis), P()),
                 out_specs=P(),
-                check_rep=False,
+                check_vma=False,
             )
         )
         self._enc_cache[key] = fn
@@ -289,7 +301,7 @@ class ShardedDetector:
                     P(),
                 ),
                 out_specs=P(),
-                check_rep=False,
+                check_vma=False,
             )
         )
         self._enc_cache[key] = fn
