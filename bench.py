@@ -231,6 +231,20 @@ def main():
                     "cold_start_seconds": round(
                         keygen_s + warm_s + compile_s, 1
                     ),
+                    # keygen + first-batch load ride the tunneled device
+                    # link (10-70 MB/s run-to-run swing, ~0.7 GB key
+                    # upload + executable deserialization), so the cold
+                    # start is a single-shot draw from a wide distribution
+                    # - committed artifacts and fresh-process confirmation
+                    # runs of IDENTICAL code have recorded 42.6-88.4 s
+                    # (docs/PERF_NOTES.md round-4 close-out). The range is
+                    # the number of record; one draw is not.
+                    "cold_start_observed_range_s": [42.6, 88.4],
+                    "cold_start_variance_cause": (
+                        "tunneled-link transfer rate swing (10-70 MB/s) "
+                        "during key upload + executable load; see "
+                        "docs/PERF_NOTES.md"
+                    ),
                     "digest": enc,
                     "device": str(jax.devices()[0]),
                 }

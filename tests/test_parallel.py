@@ -77,6 +77,50 @@ def test_sharded_full_digest_matches_single(setup):
     np.testing.assert_array_equal(np.asarray(s_pay), np.asarray(m_pay))
 
 
+@pytest.mark.slow
+def test_sharded_default_params_matches_single():
+    """Bit-equality of sharded vs single-device detect AND both digest
+    encoders at the REFERENCE parameter set (small batch, 8-device CPU
+    mesh) — the psum shape at real parameters, counterpart of reference
+    ``detector.rs:333-336,445-449``. The digest layout is the production
+    D=65536 one (130 buckets x 25 segments, 5 index cts, 28 payload cts)
+    even though only 16 messages are detected."""
+    from tfhe_omr_tpu.core.payload import random_payloads
+
+    params = OmrParameters.default()
+    skp = SecretKeyPack(params, rng=51)
+    detector = skp.generate_detector()
+    sender = skp.generate_sender()
+    rng = np.random.default_rng(52)
+    clues = sender.gen_clues(16, rng)
+    sharded = ShardedDetector(detector, make_data_mesh())
+
+    single = detector.detect(clues)
+    multi = sharded.detect(clues)
+    np.testing.assert_array_equal(np.asarray(single), np.asarray(multi))
+
+    # production digest layout: retrieval params for D=65536, k=50
+    rp = skp.generate_retriever(65536, 50).params
+    assert rp.max_encode_indices_cipher_count == 5
+    s_idx = detector.encode_pertinent_indices(
+        rp, single, np.random.default_rng(7), chunk=8
+    )
+    m_idx = sharded.encode_pertinent_indices(
+        rp, multi, np.random.default_rng(7), chunk=8
+    )
+    np.testing.assert_array_equal(np.asarray(s_idx), np.asarray(m_idx))
+
+    payloads = random_payloads(np.random.default_rng(8), 16,
+                               rp.payload_length)
+    s_pay = detector.encode_pertinent_payloads(
+        rp, single, payloads, 9, chunk=8
+    )
+    m_pay = sharded.encode_pertinent_payloads(
+        rp, multi, payloads, 9, chunk=8
+    )
+    np.testing.assert_array_equal(np.asarray(s_pay), np.asarray(m_pay))
+
+
 def test_sharded_encode_matches_single(setup):
     params, skp, detector, clues = setup
     mesh = make_data_mesh()

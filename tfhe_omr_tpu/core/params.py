@@ -135,22 +135,31 @@ class OmrParameters:
 
     # ------------------------------------------------------------- presets
     @staticmethod
-    def default() -> "OmrParameters":
-        """The reference parameter set (``parameters/mod.rs:39-105``)."""
+    def default(noise_free: bool = False) -> "OmrParameters":
+        """The reference parameter set (``parameters/mod.rs:39-105``).
+
+        ``noise_free=True`` keeps every dimension/modulus/gadget constant
+        but sets all noise sigmas to 0 — the deterministic interchange mode
+        (the reference has no such mode, SURVEY.md §4; fixtures generated
+        this way are exactly reproducible from the recorded secrets).
+        """
         q1 = 134215681  # == 2**27 - 2047, reference FirstLevelField
         q2 = 1125899906826241  # == 2**50 - 16383, reference SecondLevelField
+        z = lambda s: 0.0 if noise_free else s
         return OmrParameters(
-            clue_params=LweParams(512, 8, 2048, "binary", 0.8293),
+            clue_params=LweParams(512, 8, 2048, "binary", z(0.8293)),
             clue_count=7,
-            first_level_br=GadgetRlweParams(1024, q1, "ternary", 3.1859, 5, 4),
+            first_level_br=GadgetRlweParams(
+                1024, q1, "ternary", z(3.1859), 5, 4
+            ),
             first_level_ks=KeySwitchParams(
-                1024, 670, 27, 1, 2.0329 * (2.0**10)
+                1024, 670, 27, 1, z(2.0329 * (2.0**10))
             ),
-            intermediate_lwe=LweParams(670, 32, 4096, "binary", 10.3260),
+            intermediate_lwe=LweParams(670, 32, 4096, "binary", z(10.3260)),
             second_level_br=GadgetRlweParams(
-                2048, q2, "ternary", 0.3908, 7, 6
+                2048, q2, "ternary", z(0.3908), 7, 6
             ),
-            trace=GadgetRlweParams(2048, q2, "ternary", 0.3908, 2, 25),
+            trace=GadgetRlweParams(2048, q2, "ternary", z(0.3908), 2, 25),
             output_plain_modulus=257,
         )
 

@@ -38,6 +38,46 @@ class ClueBatch(NamedTuple):
         )
 
 
+def clue_chunk_body(key, lo, hi, *, cnt: int, n: int, clue_count: int,
+                    noise_std: float, q0: int):
+    """Jittable body of one device clue-generation chunk.
+
+    Returns a (cnt, n + clue_count) uint16 array of compact clue
+    ciphertexts (columns a | b7) mod q0. Single source of truth for the
+    generator: both :meth:`Sender._build_device` and the false-positive
+    rate probe (benches/fp_rate_probe.py) run exactly this program, so the
+    probe measures the rate of the REAL clue distribution
+    (``clue.rs:26-34`` semantics).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    ku, ka, kb = jax.random.split(key, 3)
+    u = jax.random.bernoulli(ku, 0.5, (cnt, n)).astype(jnp.int8)
+    dots = [
+        jax.lax.dot_general(
+            u, pv, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        for pv in (lo, hi)
+    ]
+    r = dots[0] + (dots[1] << 7)
+    if noise_std > 0.0:
+        e_a = jnp.round(
+            noise_std * jax.random.normal(ka, (cnt, n))
+        ).astype(jnp.int32)
+        e_b = jnp.round(
+            noise_std * jax.random.normal(kb, (cnt, clue_count))
+        ).astype(jnp.int32)
+        e = jnp.concatenate([e_a, e_b], axis=1)
+        r = r + e
+    # q0 is a power of two < 2**16 (CmLweCiphertext<u16>, ``clue.rs``):
+    # ship uint16 — the device->host fetch rides the tunneled link at
+    # 20-70 MB/s, and int64 output made the fetch (272 MB at D=65536)
+    # the entire warm gen_clues wall
+    return (r & (q0 - 1)).astype(jnp.uint16)
+
+
 class Sender:
     def __init__(self, clue_key: ClueKey, params: OmrParameters):
         self.clue_key = clue_key
@@ -96,31 +136,10 @@ class Sender:
 
         @jax.jit
         def prog(key, lo, hi):
-            ku, ka, kb = jax.random.split(key, 3)
-            u = jax.random.bernoulli(ku, 0.5, (cnt, n)).astype(jnp.int8)
-            dots = [
-                jax.lax.dot_general(
-                    u, pv, (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.int32,
-                )
-                for pv in (lo, hi)
-            ]
-            r = dots[0] + (dots[1] << 7)
-            if noise_std > 0.0:
-                e_a = jnp.round(
-                    noise_std * jax.random.normal(ka, (cnt, n))
-                ).astype(jnp.int32)
-                e_b = jnp.round(
-                    noise_std
-                    * jax.random.normal(kb, (cnt, k.clue_count))
-                ).astype(jnp.int32)
-                e = jnp.concatenate([e_a, e_b], axis=1)
-                r = r + e
-            # q0 is a power of two < 2**16 (CmLweCiphertext<u16>,
-            # ``clue.rs``): ship uint16 — the device->host fetch rides the
-            # tunneled link at 20-70 MB/s, and int64 output made the fetch
-            # (272 MB at D=65536) the entire warm gen_clues wall
-            return (r & (q0 - 1)).astype(jnp.uint16)
+            return clue_chunk_body(
+                key, lo, hi, cnt=cnt, n=n, clue_count=k.clue_count,
+                noise_std=noise_std, q0=q0,
+            )
 
         call = prog
         if os.environ.get("TFHE_OMR_KEYGEN_AOT") != "0":
