@@ -41,6 +41,22 @@ def main():
                          "instead of the on-device batch program")
     ap.add_argument("--profile", type=str, default=None,
                     help="write a jax.profiler trace to this directory")
+    ap.add_argument("--seed", type=int, default=None,
+                    help="deterministic run seed (required multi-process: "
+                         "every process must derive identical keys/clues)")
+    # multi-host launch (jax multi-controller runtime): run the SAME
+    # command on every host, adding --coordinator host0:port
+    # --num-processes N --process-id i (on TPU pods the three are
+    # discovered from the environment; just pass --distributed). Implies
+    # --sharded over the global mesh; the digest psum rides ICI/DCN
+    # (SURVEY.md §2.4's multi-host plan).
+    ap.add_argument("--distributed", action="store_true",
+                    help="initialise the multi-controller runtime from the "
+                         "environment (TPU pods)")
+    ap.add_argument("--coordinator", type=str, default=None,
+                    help="coordinator address host:port (manual bring-up)")
+    ap.add_argument("--num-processes", type=int, default=None)
+    ap.add_argument("--process-id", type=int, default=None)
     args = ap.parse_args()
 
     logging.basicConfig(
@@ -59,6 +75,27 @@ def main():
     elif env_plat and "axon" not in env_plat:
         jax.config.update("jax_platforms", env_plat)
 
+    multiproc = False
+    if args.distributed or args.coordinator:
+        from tfhe_omr_tpu.parallel import distributed
+
+        distributed.init(
+            coordinator_address=args.coordinator,
+            num_processes=args.num_processes,
+            process_id=args.process_id,
+        )
+        multiproc = distributed.is_multihost()
+        if multiproc:
+            assert args.seed is not None, (
+                "--seed is required multi-process: every process must "
+                "derive identical keys and clue streams"
+            )
+            args.sharded = True
+            # global arrays are assembled from identical host copies in
+            # multi-controller runs (parallel/mesh.py), so clues come from
+            # the host path
+            args.host_clues = True
+
     from tfhe_omr_tpu.core.keygen import SecretKeyPack
     from tfhe_omr_tpu.core.params import OmrParameters
     from tfhe_omr_tpu.core.payload import random_payloads
@@ -76,29 +113,37 @@ def main():
     total0 = time.perf_counter()
 
     log.info("generating secret key packs...")
-    skp = SecretKeyPack(params, rng=np.random.default_rng())
-    skp2 = SecretKeyPack(params, rng=np.random.default_rng())
+    if args.seed is not None:
+        skp = SecretKeyPack(params, rng=args.seed)
+        skp2 = SecretKeyPack(params, rng=args.seed + 1)
+    else:
+        skp = SecretKeyPack(params, rng=np.random.default_rng())
+        skp2 = SecretKeyPack(params, rng=np.random.default_rng())
     sender = skp.generate_sender()
     sender2 = skp2.generate_sender()
     detector = skp.generate_detector()
     log.info("detection key size: %.1f MB", detector.detect_key_size() / 1e6)
-    t0 = time.perf_counter()
-    aot = detector.warm(args.batch)
-    log.info("AOT warm (%s) in %.1fs", aot, time.perf_counter() - t0)
-    from tfhe_omr_tpu.core.sender import ClueBatch as _CB
+    if not multiproc:
+        t0 = time.perf_counter()
+        aot = detector.warm(args.batch)
+        log.info("AOT warm (%s) in %.1fs", aot, time.perf_counter() - t0)
+        from tfhe_omr_tpu.core.sender import ClueBatch as _CB
 
-    # execute one dummy batch so the stage executables LOAD outside the
-    # timed region (the tunneled backend bills ~1-2 min of executable
-    # deserialization to the first call)
-    t0 = time.perf_counter()
-    _warm_out = detector.detect(_CB(
-        np.zeros((args.batch, params.clue_params.dimension), np.int64),
-        np.zeros((args.batch, params.clue_count), np.int64),
-    ))
-    np.asarray(_warm_out[:1, :1, :8])
-    log.info("executable load + first batch: %.1fs", time.perf_counter() - t0)
+        # execute one dummy batch so the stage executables LOAD outside the
+        # timed region (the tunneled backend bills ~1-2 min of executable
+        # deserialization to the first call)
+        t0 = time.perf_counter()
+        _warm_out = detector.detect(_CB(
+            np.zeros((args.batch, params.clue_params.dimension), np.int64),
+            np.zeros((args.batch, params.clue_count), np.int64),
+        ))
+        np.asarray(_warm_out[:1, :1, :8])
+        log.info("executable load + first batch: %.1fs",
+                 time.perf_counter() - t0)
 
-    rng = np.random.default_rng()
+    rng = np.random.default_rng(
+        args.seed + 2 if args.seed is not None else None
+    )
     pertinent = np.zeros(all_count, dtype=bool)
     pertinent[:pertinent_count] = True
     rng.shuffle(pertinent)
@@ -158,6 +203,17 @@ def main():
         from tfhe_omr_tpu.parallel import ShardedDetector, make_data_mesh
 
         runner = ShardedDetector(detector, make_data_mesh())
+    if multiproc:
+        # multi-controller: one global dispatch per stage (batching a
+        # global sharded array would slice across processes); the board
+        # must tile the global mesh exactly — zero-clue padding rows are
+        # PERTINENT (phase 0) and would pollute the digest
+        assert all_count % n_dev == 0, (all_count, n_dev)
+        assert args.batch >= all_count, (
+            "multi-process runs dispatch the whole board at once: "
+            "--batch >= payload count"
+        )
+        args.batch = all_count
 
     log.info("detecting...")
     if args.profile:
@@ -200,6 +256,12 @@ def main():
                 [b7[s : s + c], np.zeros((pad, b7.shape[1]), np.int64)]
             )
         out = runner.detect(ClueBatch(ca, cb))
+        if multiproc:
+            # single global dispatch: the sharded result IS the stack
+            pv = out
+            done += c
+            log.info("  detected %d/%d", done, all_count)
+            continue
         if pv is None:
             pv = jnp.zeros(
                 (all_count,) + out.shape[1:], dtype=out.dtype
@@ -213,8 +275,10 @@ def main():
     jax.block_until_ready(pv)
     # the tunneled backend can ack block_until_ready while batches are
     # still executing; a tiny device->host fetch pins true completion so
-    # the per-stage attribution below is honest
-    np.asarray(pv[:1, :1, :8])
+    # the per-stage attribution below is honest (a cross-process sharded
+    # stack is not addressable row-0-first on every process — skip there)
+    if not multiproc:
+        np.asarray(pv[:1, :1, :8])
     if args.profile:
         jax.profiler.stop_trace()
         log.info("profiler trace written to %s", args.profile)
@@ -352,6 +416,8 @@ def main():
             "All done in %.1fs", len(indices), len(extras), rec.total_time,
         )
 
+    if multiproc and jax.process_index() != 0:
+        args.csv = args.json = None  # one artifact writer per run
     if args.csv:
         write_csv(args.csv, [rec])
     if args.json:

@@ -82,3 +82,52 @@ def test_two_process_sharded_digest(tmp_path):
     np.testing.assert_array_equal(got["pv"], np.asarray(pv))
     np.testing.assert_array_equal(got["idx_ct"], np.asarray(idx_ct))
     np.testing.assert_array_equal(got["pay_cts"], np.asarray(pay_cts))
+
+
+@pytest.mark.slow
+def test_two_process_full_e2e(tmp_path):
+    """The FULL pipeline (keygen -> clues -> sharded detect -> both digest
+    encoders with cross-process psum -> decode -> byte-exact verify) across
+    2 OS processes — the localhost rehearsal of the multi-host launch path
+    (examples/omr.py --coordinator ...; SURVEY §2.4's multi-host plan), not
+    just digest equality."""
+    import json
+
+    omr = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "examples", "omr.py",
+    )
+    coordinator = f"127.0.0.1:{_free_port()}"
+    env = {
+        k: v
+        for k, v in os.environ.items()
+        if not k.startswith(("XLA_FLAGS", "JAX_PLATFORMS"))
+    }
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+    env["TFHE_OMR_NO_COMPILE_CACHE"] = "1"
+    outs = [tmp_path / f"omr{i}.json" for i in range(2)]
+    procs = [
+        subprocess.Popen(
+            [
+                sys.executable, omr, "--tiny", "--cpu", "-p", "24",
+                "--batch", "24", "--seed", "77",
+                "--coordinator", coordinator,
+                "--num-processes", "2", "--process-id", str(pid),
+                "--json", str(outs[pid]),
+            ],
+            env=env,
+            stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT,
+        )
+        for pid in range(2)
+    ]
+    logs = []
+    for p in procs:
+        stdout, _ = p.communicate(timeout=900)
+        logs.append(stdout.decode(errors="replace"))
+    assert all(p.returncode == 0 for p in procs), "\n".join(logs)
+    with open(outs[0]) as fh:
+        art = json.load(fh)
+    assert art["byte_exact"] is True
+    assert art["true_subset_of_decoded"] is True
+    assert art["device_count"] == 4

@@ -195,6 +195,13 @@ def main():
             "a": ints(np.asarray(out)[0, 0]), "b": ints(np.asarray(out)[0, 1]),
         },
         "digest": {
+            "layout": {
+                "slots_per_segment": rp.slots_per_segment,
+                "slots_per_bucket": rp.slots_per_bucket,
+                "index_slots_per_bucket": rp.index_slots_per_bucket,
+                "bucket_count_per_segment": rp.bucket_count_per_segment,
+                "segment_per_cipher": rp.segment_per_cipher,
+            },
             "buckets": ints(buckets),
             "index_ct": {
                 "a": ints(np.asarray(idx_ct)[0]),
