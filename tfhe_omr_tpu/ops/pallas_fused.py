@@ -413,7 +413,7 @@ class FusedBlindRotateL1:
             w0f_ref, w1f_ref, w0i_ref, w1i_ref, ohlo_ref, ohhi_ref,
             acc_ref, xp_ref, bsk_ref,
             o_ref,
-            acc_s, dig_s, a_s, p_s, y_s, pg_s,
+            acc_s, dig_s, a_s, p_s, y_s, pgm_s,
         ):
             step = pl.program_id(1)
             n_steps = pl.num_programs(1)
@@ -557,13 +557,13 @@ class FusedBlindRotateL1:
                         )
                         for s_ in range(3):
                             if t == 0:
-                                pg_s[o, s_] = pg[s_]
+                                pgm_s[o, s_] = pg[s_]
                             else:
-                                pg_s[o, s_] = pg_s[o, s_] + pg[s_]
+                                pgm_s[o, s_] = pgm_s[o, s_] + pg[s_]
                 for o in range(2):
                     sl = slice(o * bt, (o + 1) * bt)
                     p_s[:, sl] = self._recombine14(
-                        pg_s[o, 0], pg_s[o, 1], pg_s[o, 2]
+                        pgm_s[o, 0], pgm_s[o, 1], pgm_s[o, 2]
                     )
 
             # ---- 5. inverse NTT of p_s -> delta, accumulate into acc_s
@@ -686,7 +686,7 @@ class FusedBlindRotateL1:
                     ),
                     pltpu.VMEM((n_, 2 * tile), jnp.int32),      # p_s
                     pltpu.VMEM((r, c * 2 * tile), jnp.int32),   # y_s
-                    pltpu.VMEM((2, 3, n_, tile), jnp.int32),    # pg_s
+                    pltpu.VMEM((2, 3, n_, tile), jnp.int32),    # pgm_s
                 ],
                 compiler_params=pltpu.CompilerParams(
                     vmem_limit_bytes=123 * 1024 * 1024,
@@ -759,6 +759,7 @@ class FusedBlindRotateL2:
         interpret: bool = False,
         skip: frozenset = frozenset(),
         single_dot: bool = False,
+        mac_rc: int | None = None,
     ):
         assert field.bits == 50
         #: forward NTT as ONE full (8N, N) int8 MXU dot (digits are a
@@ -767,6 +768,28 @@ class FusedBlindRotateL2:
         self.single_dot = single_dot
         if single_dot:
             assert hasattr(ntt, "_wf_full")
+        #: MAC v2: row-chunked register-blocked MAC (TFHE_OMR_MAC_RC=<rows>,
+        #: 0 = legacy). The legacy jj-outer loop carries its 7 group
+        #: accumulators through VMEM — 14 (N, tile) loads+stores per digit
+        #: column x 6 (t, o) passes, which pins the phase at the VMEM-
+        #: streaming rate (~1.0 T int32 op/s, benches/vpu_peak_probe.py)
+        #: instead of the register-resident ALU rate (~2.3-2.7 T). v2 makes
+        #: the row chunk the outer loop, unrolls the digit columns inside
+        #: it with all 42 group accumulators register-resident, shares one
+        #: digit-plane read across ALL SIX (t, o) passes, and Horner-folds
+        #: per chunk — cutting VMEM traffic per MAC op ~6x.
+        if mac_rc is None:
+            import os as _os
+
+            # default ON at 64 rows: measured 2.755 -> 1.847 ms/msg for
+            # the full L2 pass at B=1024 (benches/fused_l2.py, r5)
+            mac_rc = int(_os.environ.get("TFHE_OMR_MAC_RC", "64"))
+        # shrink to a divisor of the ring dim (small test rings)
+        while mac_rc > 8 and ntt.n % mac_rc:
+            mac_rc //= 2
+        if mac_rc and ntt.n % mac_rc:
+            mac_rc = 0
+        self.mac_rc = mac_rc
         self.field = field
         self.ntt = ntt
         self.d = d
@@ -1073,7 +1096,7 @@ class FusedBlindRotateL2:
             w0f_ref, w1f_ref, w0i_ref, w1i_ref, ohlo_ref, ohhi_ref,
             acc_ref, p1_ref, p2_ref, bsk_ref,
             o_ref,
-            acc_s, dig_s, dnhi_s, slo_s, shi_s, plo_s, phi_s, pg_s,
+            acc_s, dig_s, dnhi_s, slo_s, shi_s, plo_s, phi_s, pgm_s,
         ):
             step = pl.program_id(1)
             n_steps = pl.num_programs(1)
@@ -1166,7 +1189,106 @@ class FusedBlindRotateL2:
             # ---- 3+4. MAC with per-row mono; per-(row, o) results are
             # dual-limb-accumulated straight into the plo/phi scratch so no
             # accumulator value stays live across the big unrolled sections
-            if "mac" not in skip:
+            if "mac" not in skip and self.mac_rc:
+                # v2: row-chunked register-blocked MAC (see __init__ note).
+                m16 = jnp.int32(0xFFFF)
+
+                def pack_jj(jj, _):
+                    jj = jj.astype(jnp.int32)
+                    cs = pl.ds(jj * jnp.int32(bt), bt)
+                    vp = self._bal13(dig_s[:, cs], dnhi_s[:, cs])
+                    dig_s[:, cs] = (vp[0] & m16) | (vp[1] << 16)
+                    dnhi_s[:, cs] = (vp[2] & m16) | (vp[3] << 16)
+                    return jnp.int32(0)
+
+                jax.lax.fori_loop(
+                    jnp.int32(0), jnp.int32(jc), pack_jj, jnp.int32(0)
+                )
+                # mono planes for all 3 t once, staged in pgm_s (12, N, bt)
+                for t in range(3):
+                    if "mono" not in skip:
+                        s1l, s1h = self._onehot_dual(
+                            ohlo_ref[:], p1_ref[0, 2 * t],
+                            p1_ref[0, 2 * t + 1],
+                        )
+                        s2l, s2h = self._onehot_dual(
+                            ohhi_ref[:], p2_ref[0, 2 * t],
+                            p2_ref[0, 2 * t + 1],
+                        )
+                        mlo, mhi = self._mul_bal(
+                            self._bal13(s1l, s1h), self._bal13(s2l, s2h)
+                        )
+                        mlo, mhi = self._sub_one(mlo, mhi)
+                    else:
+                        mlo = p1_ref[0, 2 * t, 0:1, :] + jnp.zeros(
+                            (n, bt), jnp.int32
+                        )
+                        mhi = jnp.zeros((n, bt), jnp.int32)
+                    mt = self._bal13(mlo, mhi)
+                    for pidx in range(4):
+                        pgm_s[t * 4 + pidx] = mt[pidx]
+
+                rc_sz = self.mac_rc
+                n_rc = n // rc_sz
+
+                def mac_rc_body(rci, _):
+                    row0 = rci.astype(jnp.int32) * jnp.int32(rc_sz)
+                    rows = pl.ds(row0, rc_sz)
+                    # one digit-plane read per jj feeds all 6 (t, o)
+                    # passes; 42 group accumulators stay in registers
+                    groups = [
+                        [[None] * 7 for _ in range(2)] for _ in range(3)
+                    ]
+                    for jj in range(jc):
+                        c0 = jj * bt
+                        w01 = dig_s[rows, c0 : c0 + bt]
+                        w23 = dnhi_s[rows, c0 : c0 + bt]
+                        vp = [
+                            (w01 << 16) >> 16,
+                            w01 >> 16,
+                            (w23 << 16) >> 16,
+                            w23 >> 16,
+                        ]
+                        kj = bsk_ref[0, jj, rows, :]
+                        for t in range(3):
+                            for o in range(2):
+                                for a in range(4):
+                                    col = (a * 3 + t) * 2 + o
+                                    kcol = kj[:, col : col + 1].astype(
+                                        jnp.int32
+                                    )
+                                    for b in range(4):
+                                        s_ = a + b
+                                        term = vp[b] * kcol
+                                        cur = groups[t][o][s_]
+                                        groups[t][o][s_] = (
+                                            term if cur is None
+                                            else cur + term
+                                        )
+                    for o in range(2):
+                        out12 = [None] * 12
+                        for t in range(3):
+                            digs = self._norm_groups13(groups[t][o])
+                            mono_t = [
+                                pgm_s[t * 4 + pidx, rows, :]
+                                for pidx in range(4)
+                            ]
+                            pg = self._conv_groups(digs, mono_t)
+                            for s_ in range(12):
+                                out12[s_] = (
+                                    pg[s_] if out12[s_] is None
+                                    else out12[s_] + pg[s_]
+                                )
+                        rlo, rhi = self._horner_dual(out12, 13)
+                        plo_s[rows, o * bt : (o + 1) * bt] = rlo
+                        phi_s[rows, o * bt : (o + 1) * bt] = rhi
+                    return jnp.int32(0)
+
+                jax.lax.fori_loop(
+                    jnp.int32(0), jnp.int32(n_rc), mac_rc_body,
+                    jnp.int32(0),
+                )
+            elif "mac" not in skip:
                 # pack the balanced 13-bit digit planes of dn ONCE (shared
                 # by all six (t, o) MAC passes): dig_s <- d0 | d1<<16,
                 # dnhi_s <- d2 | d3<<16 (sign-extending unpack in mac_jj)
@@ -1241,12 +1363,12 @@ class FusedBlindRotateL2:
                         )
                         for s_ in range(12):
                             if t == 0:
-                                pg_s[o, s_] = pg[s_]
+                                pgm_s[o, s_] = pg[s_]
                             else:
-                                pg_s[o, s_] = pg_s[o, s_] + pg[s_]
+                                pgm_s[o, s_] = pgm_s[o, s_] + pg[s_]
                 for o in range(2):
                     rlo, rhi = self._horner_dual(
-                        [pg_s[o, s_] for s_ in range(12)], 13
+                        [pgm_s[o, s_] for s_ in range(12)], 13
                     )
                     sl = slice(o * bt, (o + 1) * bt)
                     plo_s[:, sl] = rlo
@@ -1371,7 +1493,13 @@ class FusedBlindRotateL2:
                     pltpu.VMEM((r, c * 2 * tile), jnp.int32),      # shi_s
                     pltpu.VMEM((n_, 2 * tile), jnp.int32),         # plo_s
                     pltpu.VMEM((n_, 2 * tile), jnp.int32),         # phi_s
-                    pltpu.VMEM((2, 12, n_, tile), jnp.int32),      # pg_s
+                    # v2 stages the 3x4 mono planes here (12 MB at
+                    # tile=128); legacy holds the 2x12 product groups
+                    pltpu.VMEM(
+                        (12, n_, tile) if self.mac_rc
+                        else (2, 12, n_, tile),
+                        jnp.int32,
+                    ),                                              # pgm_s
                 ],
                 compiler_params=pltpu.CompilerParams(
                     vmem_limit_bytes=123 * 1024 * 1024,
