@@ -170,8 +170,24 @@ class FusedBlindRotateL1:
         batched_dot: bool = False,
         rows: int = 1,
         single_dot: bool = False,
+        mac_rc: int | None = None,
     ):
         assert field.bits <= 27
+        #: row-chunked register-blocked MAC (same mechanics as
+        #: FusedBlindRotateL2.mac_rc) — measured SLOWER here (1.69-1.75 vs
+        #: 1.58 ms/msg at B=896): the L1 MAC's 3-group 14-bit-limb DAG is
+        #: small enough that Mosaic already schedules the unrolled form
+        #: register-resident, and the explicit chunk loop + mono staging
+        #: only add overhead. Default OFF (TFHE_OMR_MAC_RC1 to enable).
+        if mac_rc is None:
+            import os as _os
+
+            mac_rc = int(_os.environ.get("TFHE_OMR_MAC_RC1", "0"))
+        while mac_rc > 8 and ntt.n % mac_rc:
+            mac_rc //= 2
+        if mac_rc and ntt.n % mac_rc:
+            mac_rc = 0
+        self.mac_rc = mac_rc
         assert rows in (1, 3)
         #: run the forward/inverse NTTs as ONE full (L*N, N) int8 MXU dot
         #: (plus Horner) instead of the two-level factorisation — trades
@@ -482,8 +498,9 @@ class FusedBlindRotateL1:
             # row contributions mod q (matches the XLA paired path's
             # mod_sum over rows)
             if "mac" not in skip:
-                dn = a_s[:] if self.single_dot else dig_s[:]  # (N, jc*Bt)
-                kb = bsk_ref[0]  # rows=1: (N,32) int32; rows=3: (N,128) int16
+                if not self.mac_rc:  # legacy reads the full planes up front
+                    dn = a_s[:] if self.single_dot else dig_s[:]
+                    kb = bsk_ref[0]  # rows=1: (N,32) i32; rows=3: (N,128) i16
                 if "mono" not in skip:
                     # power tables P1[t] = x^t (t < n_lo) and
                     # P2[u] = (x^n_lo)^u (u < n_hi) from x = psi^a, built
@@ -509,62 +526,138 @@ class FusedBlindRotateL1:
                             [blk2, self._mul_balanced(blk2, yj)], axis=0
                         )
                         yj = self._mul_balanced(yj, yj)
-                for t in range(self.rows):
+                def make_mono(t):
                     if "mono" not in skip:
                         p1t = blk1[:, t * bt : (t + 1) * bt]
                         p2t = blk2[:, t * bt : (t + 1) * bt]
                         sel1 = self._onehot_mono(ohlo_ref[:], p1t)
                         sel2 = self._onehot_mono(ohhi_ref[:], p2t)
                         mono = self._mul_balanced(sel1, sel2) - 1
-                        mono = mono + q32 * (mono < 0)
-                    else:
-                        xrow = (
-                            xp_ref[0, t] if self.rows == 3 else xp_ref[0]
-                        )
-                        mono = xrow[None, :] + jnp.zeros((n, bt), jnp.int32)
-                    m_lo, m_hi = self._balance(mono)
-                    g = [
-                        [jnp.zeros((n, bt), dtype=jnp.int32) for _ in range(3)]
-                        for _ in range(2)
-                    ]
-                    for j in range(d):
-                        for cc in range(2):
-                            col = (j * 2 + cc) * bt
-                            # ONE balance per digit column, shared by both
-                            # output components
-                            vl, vh = self._balance(dn[:, col : col + bt])
+                        return mono + q32 * (mono < 0)
+                    xrow = xp_ref[0, t] if self.rows == 3 else xp_ref[0]
+                    return xrow[None, :] + jnp.zeros((n, bt), jnp.int32)
+
+                if self.mac_rc:
+                    # v2: stage balanced mono planes, then row-chunk the
+                    # MAC with all accumulators register-resident (see
+                    # __init__ note)
+                    for t in range(self.rows):
+                        m_lo, m_hi = self._balance(make_mono(t))
+                        pgm_s[2 * t] = m_lo
+                        pgm_s[2 * t + 1] = m_hi
+                    dn_ref = a_s if self.single_dot else dig_s
+                    rc_sz = self.mac_rc
+                    rows_n = self.rows
+
+                    def mac_rc_body(rci, _):
+                        row0 = rci.astype(jnp.int32) * jnp.int32(rc_sz)
+                        rsl = pl.ds(row0, rc_sz)
+                        pgacc = [[None] * 3 for _ in range(2)]
+                        for t in range(rows_n):
+                            g = [[None] * 3 for _ in range(2)]
+                            for j in range(d):
+                                for cc in range(2):
+                                    col = (j * 2 + cc) * bt
+                                    vl, vh = self._balance(
+                                        dn_ref[rsl, col : col + bt]
+                                    )
+                                    for o in range(2):
+                                        base = (
+                                            t * 8 * d + (j * 2 + cc) * 2 + o
+                                        )
+                                        hb = 4 * d + base
+                                        k_lo = bsk_ref[
+                                            0, rsl, base : base + 1
+                                        ].astype(jnp.int32)
+                                        k_hi = bsk_ref[
+                                            0, rsl, hb : hb + 1
+                                        ].astype(jnp.int32)
+                                        t0_ = vl * k_lo
+                                        t1_ = vl * k_hi + vh * k_lo
+                                        t2_ = vh * k_hi
+                                        if g[o][0] is None:
+                                            g[o] = [t0_, t1_, t2_]
+                                        else:
+                                            g[o][0] = g[o][0] + t0_
+                                            g[o][1] = g[o][1] + t1_
+                                            g[o][2] = g[o][2] + t2_
+                            m_lo = pgm_s[2 * t, rsl, :]
+                            m_hi = pgm_s[2 * t + 1, rsl, :]
                             for o in range(2):
-                                base = t * 8 * d + (j * 2 + cc) * 2 + o
-                                k_lo = kb[:, base : base + 1].astype(
-                                    jnp.int32
+                                p = self._recombine14(*g[o])
+                                p_lo, p_hi = self._balance(p)
+                                pg = (
+                                    p_lo * m_lo,
+                                    p_lo * m_hi + p_hi * m_lo,
+                                    p_hi * m_hi,
                                 )
-                                hb = 4 * d + base  # hi-plane column
-                                k_hi = kb[:, hb : hb + 1].astype(jnp.int32)
-                                g[o][0] = g[o][0] + vl * k_lo
-                                g[o][1] = g[o][1] + vl * k_hi + vh * k_lo
-                                g[o][2] = g[o][2] + vh * k_hi
-                    for o in range(2):
-                        p = self._recombine14(*g[o])  # (N, Bt) in [0, q)
-                        # multiply by mono (both balanced; exact) and
-                        # accumulate the product GROUPS across RGSW rows
-                        # (|group| < 2**27, <= 3 rows < 2**29): one final
-                        # recombine per output instead of one per row
-                        p_lo, p_hi = self._balance(p)
-                        pg = (
-                            p_lo * m_lo,
-                            p_lo * m_hi + p_hi * m_lo,
-                            p_hi * m_hi,
-                        )
-                        for s_ in range(3):
-                            if t == 0:
-                                pgm_s[o, s_] = pg[s_]
-                            else:
-                                pgm_s[o, s_] = pgm_s[o, s_] + pg[s_]
-                for o in range(2):
-                    sl = slice(o * bt, (o + 1) * bt)
-                    p_s[:, sl] = self._recombine14(
-                        pgm_s[o, 0], pgm_s[o, 1], pgm_s[o, 2]
+                                for s_ in range(3):
+                                    pgacc[o][s_] = (
+                                        pg[s_] if pgacc[o][s_] is None
+                                        else pgacc[o][s_] + pg[s_]
+                                    )
+                        for o in range(2):
+                            p_s[rsl, o * bt : (o + 1) * bt] = (
+                                self._recombine14(*pgacc[o])
+                            )
+                        return jnp.int32(0)
+
+                    jax.lax.fori_loop(
+                        jnp.int32(0), jnp.int32(n // rc_sz), mac_rc_body,
+                        jnp.int32(0),
                     )
+                else:
+                    for t in range(self.rows):
+                        mono = make_mono(t)
+                        m_lo, m_hi = self._balance(mono)
+                        g = [
+                            [
+                                jnp.zeros((n, bt), dtype=jnp.int32)
+                                for _ in range(3)
+                            ]
+                            for _ in range(2)
+                        ]
+                        for j in range(d):
+                            for cc in range(2):
+                                col = (j * 2 + cc) * bt
+                                # ONE balance per digit column, shared by
+                                # both output components
+                                vl, vh = self._balance(dn[:, col : col + bt])
+                                for o in range(2):
+                                    base = t * 8 * d + (j * 2 + cc) * 2 + o
+                                    k_lo = kb[:, base : base + 1].astype(
+                                        jnp.int32
+                                    )
+                                    hb = 4 * d + base  # hi-plane column
+                                    k_hi = kb[:, hb : hb + 1].astype(
+                                        jnp.int32
+                                    )
+                                    g[o][0] = g[o][0] + vl * k_lo
+                                    g[o][1] = g[o][1] + vl * k_hi + vh * k_lo
+                                    g[o][2] = g[o][2] + vh * k_hi
+                        for o in range(2):
+                            p = self._recombine14(*g[o])  # (N, Bt) in [0, q)
+                            # multiply by mono (both balanced; exact) and
+                            # accumulate the product GROUPS across RGSW rows
+                            # (|group| < 2**27, <= 3 rows < 2**29): one
+                            # final recombine per output instead of one
+                            # per row
+                            p_lo, p_hi = self._balance(p)
+                            pg = (
+                                p_lo * m_lo,
+                                p_lo * m_hi + p_hi * m_lo,
+                                p_hi * m_hi,
+                            )
+                            for s_ in range(3):
+                                if t == 0:
+                                    pgm_s[o, s_] = pg[s_]
+                                else:
+                                    pgm_s[o, s_] = pgm_s[o, s_] + pg[s_]
+                    for o in range(2):
+                        sl = slice(o * bt, (o + 1) * bt)
+                        p_s[:, sl] = self._recombine14(
+                            pgm_s[o, 0], pgm_s[o, 1], pgm_s[o, 2]
+                        )
 
             # ---- 5. inverse NTT of p_s -> delta, accumulate into acc_s
             if "intt" not in skip:
@@ -686,7 +779,13 @@ class FusedBlindRotateL1:
                     ),
                     pltpu.VMEM((n_, 2 * tile), jnp.int32),      # p_s
                     pltpu.VMEM((r, c * 2 * tile), jnp.int32),   # y_s
-                    pltpu.VMEM((2, 3, n_, tile), jnp.int32),    # pgm_s
+                    # v2 stages the balanced mono planes (2 per RGSW row);
+                    # legacy holds the 2x3 product groups
+                    pltpu.VMEM(
+                        (2 * self.rows, n_, tile) if self.mac_rc
+                        else (2, 3, n_, tile),
+                        jnp.int32,
+                    ),                                          # pgm_s
                 ],
                 compiler_params=pltpu.CompilerParams(
                     vmem_limit_bytes=123 * 1024 * 1024,
