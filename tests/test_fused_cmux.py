@@ -212,3 +212,15 @@ def test_fused_trace_bit_identical(rng):
         int(np.abs(out.astype(np.int64) - out_ref.astype(np.int64)).max()),
         int((out != out_ref).sum()),
     )
+
+
+def test_fused_paired_bit_identical_mac_rc(small_lwe_pack, rng, monkeypatch):
+    """Opt-in row-chunked (register-blocked) L1 MAC == XLA path."""
+    monkeypatch.setenv("TFHE_OMR_MAC_RC1", "32")
+    test_fused_paired_bit_identical(small_lwe_pack, rng)
+
+
+def test_fused_l2_bit_identical_legacy_mac(small_l2_pack, rng, monkeypatch):
+    """The legacy (pre-register-blocking) L2 MAC stays bit-exact too."""
+    monkeypatch.setenv("TFHE_OMR_MAC_RC", "0")
+    test_fused_l2_bit_identical(small_l2_pack, rng)

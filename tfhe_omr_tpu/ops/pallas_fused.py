@@ -552,15 +552,21 @@ class FusedBlindRotateL1:
                     def mac_rc_body(rci, _):
                         row0 = rci.astype(jnp.int32) * jnp.int32(rc_sz)
                         rsl = pl.ds(row0, rc_sz)
+                        # ONE balance per digit column, hoisted out of the
+                        # RGSW-row loop (legacy recomputes it per row)
+                        bal = {}
+                        for j in range(d):
+                            for cc in range(2):
+                                col = (j * 2 + cc) * bt
+                                bal[(j, cc)] = self._balance(
+                                    dn_ref[rsl, col : col + bt]
+                                )
                         pgacc = [[None] * 3 for _ in range(2)]
                         for t in range(rows_n):
                             g = [[None] * 3 for _ in range(2)]
                             for j in range(d):
                                 for cc in range(2):
-                                    col = (j * 2 + cc) * bt
-                                    vl, vh = self._balance(
-                                        dn_ref[rsl, col : col + bt]
-                                    )
+                                    vl, vh = bal[(j, cc)]
                                     for o in range(2):
                                         base = (
                                             t * 8 * d + (j * 2 + cc) * 2 + o
@@ -1324,8 +1330,9 @@ class FusedBlindRotateL2:
                         )
                         mhi = jnp.zeros((n, bt), jnp.int32)
                     mt = self._bal13(mlo, mhi)
-                    for pidx in range(4):
-                        pgm_s[t * 4 + pidx] = mt[pidx]
+                    # packed 2-per-int32 (signed 13-bit planes fit 16 bits)
+                    pgm_s[t * 2] = (mt[0] & m16) | (mt[1] << 16)
+                    pgm_s[t * 2 + 1] = (mt[2] & m16) | (mt[3] << 16)
 
                 rc_sz = self.mac_rc
                 n_rc = n // rc_sz
@@ -1368,9 +1375,13 @@ class FusedBlindRotateL2:
                         out12 = [None] * 12
                         for t in range(3):
                             digs = self._norm_groups13(groups[t][o])
+                            mw0 = pgm_s[t * 2, rows, :]
+                            mw1 = pgm_s[t * 2 + 1, rows, :]
                             mono_t = [
-                                pgm_s[t * 4 + pidx, rows, :]
-                                for pidx in range(4)
+                                (mw0 << 16) >> 16,
+                                mw0 >> 16,
+                                (mw1 << 16) >> 16,
+                                mw1 >> 16,
                             ]
                             pg = self._conv_groups(digs, mono_t)
                             for s_ in range(12):
@@ -1592,16 +1603,21 @@ class FusedBlindRotateL2:
                     pltpu.VMEM((r, c * 2 * tile), jnp.int32),      # shi_s
                     pltpu.VMEM((n_, 2 * tile), jnp.int32),         # plo_s
                     pltpu.VMEM((n_, 2 * tile), jnp.int32),         # phi_s
-                    # v2 stages the 3x4 mono planes here (12 MB at
-                    # tile=128); legacy holds the 2x12 product groups
+                    # v2 stages the 3x4 mono planes packed 2-per-int32
+                    # (6 MB at tile=128); legacy holds the 2x12 product
+                    # groups
                     pltpu.VMEM(
-                        (12, n_, tile) if self.mac_rc
+                        (6, n_, tile) if self.mac_rc
                         else (2, 12, n_, tile),
                         jnp.int32,
                     ),                                              # pgm_s
                 ],
                 compiler_params=pltpu.CompilerParams(
-                    vmem_limit_bytes=123 * 1024 * 1024,
+                    # single_dot needs 125.5 MB (the (8N, N) int8 DFT
+                    # matrix coexists with the kernel scratch now that the
+                    # v2 MAC freed pgm_s's other 12 MB); v5e has 128 MB
+                    vmem_limit_bytes=(127 if self.single_dot else 123)
+                    * 1024 * 1024,
                 ),
                 interpret=self.interpret,
             )(w0f, w1f, w0i, w1i, oh_lo, oh_hi, acc_limbs, p1l, p2l, bsk_bal)
