@@ -1,0 +1,145 @@
+"""Emit artifacts/ceiling_model_r05.json — the machine-checkable cost
+model behind docs/SPEED_OF_LIGHT.md (round-5 revision).
+
+Everything here is arithmetic over DECLARED op counts and MEASURED unit
+rates; a reviewer can recompute every derived field from the inputs in
+the same file. Rates come from the round-5 honest-timing probes
+(benches/vpu_peak_probe.py — the round-4 vpu_probe numbers were
+invalidated: its per-call compute sat far below the tunneled backend's
+~30 ms dispatch ack, so it never measured real completion).
+
+Usage: python tools/make_ceiling_model.py [--bench artifacts/...json]
+"""
+
+import argparse
+import json
+import os
+
+OUT = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "artifacts", "ceiling_model_r05.json",
+)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default=OUT)
+    args = ap.parse_args()
+
+    # ---- measured unit rates (one v5e, benches/vpu_peak_probe.py r5,
+    # honest timing: 8 back-to-back dispatches pinned by a device fetch)
+    rates = {
+        "vpu_int32_register_resident_Top_s": 2.69,   # mac_8x512_s4
+        "vpu_int32_vmem_streaming_Top_s": 1.02,      # mac_256x1024_s4
+        "vpu_int32_serial_chain_Top_s": 0.48,        # chain_*_256x1024
+        "mxu_int8_deep_dot_Tmac_s": 229.0,           # i8dot_2048x2048x256
+        "notes": {
+            "register_resident": "all operands/accumulators fit the "
+            "vector register file (working set <~100 vregs)",
+            "vmem_streaming": "every op round-trips operands through "
+            "VMEM (the legacy MAC's regime)",
+            "round4_rate_invalidated": "the 0.75-0.78 T figure in "
+            "docs/SPEED_OF_LIGHT.md r4 came from benches/vpu_probe.py "
+            "whose per-call compute (~0.35 ms) sat below the tunneled "
+            "backend's dispatch ack; it measured neither",
+        },
+    }
+
+    # ---- per-phase op counts at the reference parameter set
+    # (N1=1024 n0=512 d1=4 | N2=2048 n2=670 d2=6; paired CMUX)
+    l2_steps = 670 // 2  # 335 paired steps
+    l1_steps = 512 // 2  # 256 paired steps, x7 clues
+    n2, n1 = 2048, 1024
+    # L2 MAC: per element per step: 12 digit cols x (4x4 limb products:
+    # 16 mul + 16 add) x 6 (t,o) passes / 16... = 2304 int32 ops (r4
+    # audit, unchanged; the v2 kernel reorganizes DATA FLOW, not ops)
+    l2_mac_ops_per_msg = l2_steps * n2 * 2304
+    # L1 MAC: 3 rows x 8 digit cols x (balance 3 + 2x5 products) + 2x
+    # recombine(~40) + mono products(~10) ~= 810 ops/elem/step
+    l1_mac_ops_per_msg = 7 * l1_steps * n1 * 810
+
+    def floor_ms(ops, rate_T):
+        return ops / (rate_T * 1e12) * 1e3
+
+    model = {
+        "round": 5,
+        "device": "TPU v5e (1 chip)",
+        "reference_baseline_ms_per_msg": 234.073,
+        "north_star_ms_per_msg": 2.34,
+        "measured_unit_rates": rates,
+        "op_counts": {
+            "l2_mac_int32_ops_per_msg": l2_mac_ops_per_msg,
+            "l1_mac_int32_ops_per_msg": l1_mac_ops_per_msg,
+            "l2_mac_ops_per_elem_step": 2304,
+            "l2_paired_steps": l2_steps,
+            "l1_paired_steps_x7": 7 * l1_steps,
+        },
+        "phase_floors_ms_per_msg": {
+            "l2_mac_at_register_rate": round(
+                floor_ms(l2_mac_ops_per_msg, 2.69), 3
+            ),
+            "l2_mac_at_streaming_rate": round(
+                floor_ms(l2_mac_ops_per_msg, 1.02), 3
+            ),
+            "l1_mac_at_register_rate": round(
+                floor_ms(l1_mac_ops_per_msg, 2.69), 3
+            ),
+        },
+        "measured_phases_ms_per_msg": {
+            # benches/fused_ablate2.py at B=128 with the v2 MAC (skip
+            # deltas of the 261.6 ms 'none' pass), benches/fused_l1 r4
+            "l2": {"total_B1024": 1.847, "mac": 0.79, "fwd": 0.75,
+                   "intt": 0.17, "mono": 0.09, "dec": 0.06},
+            "l1": {"total_B1024": 1.49, "mac": 0.49, "intt": 0.37,
+                   "fwd": 0.24, "mono": 0.09, "dec": 0.02},
+            "trace": 0.11,
+        },
+        "kernel_efficiency": {
+            "l2_mac_effective_Top_s": round(
+                l2_mac_ops_per_msg / (0.79e-3) / 1e12, 2
+            ),
+            "comment": "v2 (register-blocked) L2 MAC sustains ~2.0 T — "
+            "between the streaming and register-resident probe rates; "
+            "the legacy MAC ran at ~0.86 T (streaming-bound, 1.8 ms)",
+        },
+        "closed_escapes": {
+            "mxu_batched_dot": "in-kernel batched int8 dot with a "
+            "fori_loop accumulator fails to compile (benches/"
+            "mosaic_unsupported_probe.py + /tmp repro r5); XLA-level "
+            "batched dots reach 1.4-1.85 T useful after block-diag "
+            "waste and the 7-bit-plane split quadruples MAC count",
+            "i64_in_kernel": "Mosaic: 'NotImplementedError: 64-bit types "
+            "are not supported' (mosaic_unsupported_probe.py)",
+            "mul_hi_32x32": "same probe — widening multiply cannot lower",
+            "xla_i64": "XLA-level int64 multiply measured 0.03 T — no "
+            "escape",
+            "f32_fma": "0.13-0.26 T FMA/s measured (mac_probe.py r4)",
+            "crt_swar_toeplitz_order3": "closed by op-count arithmetic "
+            "(SPEED_OF_LIGHT r4 SS3-4, unchanged)",
+        },
+        "bound_statement": {
+            "practical_single_chip_floor_ms": 2.9,
+            "derivation": "L1 1.49 (legacy DAG already near its mixed "
+            "MXU/VPU bound; v2 measured slower) + L2 >= 1.3 (mac floor "
+            "0.59 register-rate + fwd/intt/mono/dec >= 0.7 measured-"
+            "composition) + trace 0.11",
+            "status": "NOT claimed airtight: the r4 '244 msg/s ceiling' "
+            "is retracted — it rested on the invalidated 0.77 T rate. "
+            "The honest statement is: measured headline this round, "
+            "with remaining headroom bounded by the register-resident "
+            "ALU rate, i.e. single-chip could reach ~330-380 msg/s with "
+            "further data-movement engineering; >=427 msg/s single-chip "
+            "would need every VPU phase at >2.3 T sustained, which no "
+            "whole-kernel measurement supports yet. Two chips clear the "
+            "north star today (sharding overhead 0.02% on-chip, 96.5% "
+            "2-process).",
+        },
+    }
+    os.makedirs(os.path.dirname(args.out), exist_ok=True)
+    with open(args.out, "w") as fh:
+        json.dump(model, fh, indent=1)
+    print(json.dumps({"wrote": args.out}))
+
+
+if __name__ == "__main__":
+    main()
