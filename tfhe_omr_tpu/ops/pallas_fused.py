@@ -188,6 +188,18 @@ class FusedBlindRotateL1:
         if mac_rc and ntt.n % mac_rc:
             mac_rc = 0
         self.mac_rc = mac_rc
+        #: mixed NTT mode (default ON): forward as the single (L*N, N)
+        #: dot, inverse via the two-level factorisation — the single-dot
+        #: INVERSE pays 4 full-range planes x N-deep dots + an 11-group
+        #: radix-7 Horner; the two-level inverse halves that VPU fold
+        #: work. Measured 1.577 -> 1.451 ms/msg for the full L1 pass at
+        #: B=896 (benches/fused_l1.py, r5). TFHE_OMR_L1_INTT2=0 restores
+        #: the pure single-dot inverse.
+        import os as _os2
+
+        self.intt_two_level = (
+            _os2.environ.get("TFHE_OMR_L1_INTT2", "1") == "1"
+        )
         assert rows in (1, 3)
         #: run the forward/inverse NTTs as ONE full (L*N, N) int8 MXU dot
         #: (plus Horner) instead of the two-level factorisation — trades
@@ -412,7 +424,10 @@ class FusedBlindRotateL1:
         pn = self.ntt
         if self.single_dot:
             w0f, w1f = pn._wf_full, pn._w1_f
-            w0i, w1i = pn._wi_full, pn._w1_i
+            if self.intt_two_level:
+                w0i, w1i = pn._w0_i, pn._w1_i
+            else:
+                w0i, w1i = pn._wi_full, pn._w1_i
         else:
             w0f, w1f = pn._w0_f, pn._w1_f
             w0i, w1i = pn._w0_i, pn._w1_i
@@ -667,7 +682,7 @@ class FusedBlindRotateL1:
 
             # ---- 5. inverse NTT of p_s -> delta, accumulate into acc_s
             if "intt" not in skip:
-                if self.single_dot:
+                if self.single_dot and not self.intt_two_level:
                     # 1024-deep full-range dots: groups reach 2**26, so the
                     # Horner runs unpaired (radix 2**7)
                     z = self._level_dot(
