@@ -85,13 +85,20 @@ def main():
                 floor_ms(l1_mac_ops_per_msg, 2.69), 3
             ),
         },
+        "measured_pipeline_ms_per_msg": {
+            "total_B1024": 3.203,
+            "throughput_msg_s": 312.171,
+            "stage_split": {"first_level": 1.38, "second_level": 1.84,
+                            "trace": 0.11},
+        },
         "measured_phases_ms_per_msg": {
             # benches/fused_ablate2.py at B=128 with the v2 MAC (skip
-            # deltas of the 261.6 ms 'none' pass), benches/fused_l1 r4
-            "l2": {"total_B1024": 1.847, "mac": 0.79, "fwd": 0.75,
+            # deltas of the 261.6 ms 'none' pass); L1 from fused_ablate
+            # r5 (372.3 ms 'none' pass, paired+single-dot)
+            "l2": {"total_B1024": 1.84, "mac": 0.79, "fwd": 0.75,
                    "intt": 0.17, "mono": 0.09, "dec": 0.06},
-            "l1": {"total_B1024": 1.49, "mac": 0.49, "intt": 0.37,
-                   "fwd": 0.24, "mono": 0.09, "dec": 0.02},
+            "l1": {"total_B1024": 1.38, "mac": 0.34, "intt": 0.25,
+                   "fwd": 0.15, "mono": 0.07, "dec": 0.01},
             "trace": 0.11,
         },
         "kernel_efficiency": {
@@ -118,21 +125,18 @@ def main():
             "(SPEED_OF_LIGHT r4 SS3-4, unchanged)",
         },
         "bound_statement": {
-            "practical_single_chip_floor_ms": 2.9,
-            "derivation": "L1 1.49 (legacy DAG already near its mixed "
-            "MXU/VPU bound; v2 measured slower) + L2 >= 1.3 (mac floor "
-            "0.59 register-rate + fwd/intt/mono/dec >= 0.7 measured-"
-            "composition) + trace 0.11",
-            "status": "NOT claimed airtight: the r4 '244 msg/s ceiling' "
-            "is retracted — it rested on the invalidated 0.77 T rate. "
-            "The honest statement is: measured headline this round, "
-            "with remaining headroom bounded by the register-resident "
-            "ALU rate, i.e. single-chip could reach ~330-380 msg/s with "
-            "further data-movement engineering; >=427 msg/s single-chip "
-            "would need every VPU phase at >2.3 T sustained, which no "
-            "whole-kernel measurement supports yet. Two chips clear the "
-            "north star today (sharding overhead 0.02% on-chip, 96.5% "
-            "2-process).",
+            "optimistic_single_chip_floor_ms": [2.0, 2.4],
+            "derivation": "every VPU phase at the register-resident "
+            "2.69 T + Horner chains above their measured 0.5 T; see "
+            "docs/SPEED_OF_LIGHT.md SS4",
+            "status": "the r4 '244 msg/s ceiling' is RETRACTED (it "
+            "rested on the invalidated 0.77 T rate and was broken "
+            "empirically: 312 msg/s measured this round on the same "
+            "chip). No single-chip ceiling is claimed; the measured "
+            "headline is 312.2 msg/s (3.203 ms/msg) with the remaining "
+            "gap to 427 attributed phase-by-phase. Two chips clear the "
+            "north star today (2 x 312 ~= 624; sharding overhead 0.02% "
+            "on-chip, 96.5% 2-process).",
         },
     }
     os.makedirs(os.path.dirname(args.out), exist_ok=True)
