@@ -132,9 +132,18 @@ def key_args(clue_key, w):
 
 
 def pois_tails(k: int, lam: float):
-    cdf = lambda kk: sum(math.exp(-lam) * lam**j / math.factorial(j)
-                         for j in range(kk + 1))
-    return cdf(k), 1.0 - (cdf(k - 1) if k else 0.0)
+    """(P[X<=k], P[X>=k]) for X~Poisson(lam), log-space (no underflow at
+    large lam — exp(-lam) alone vanishes past lam ~ 745)."""
+
+    def cdf(kk):
+        if kk < 0:
+            return 0.0
+        acc = 0.0
+        for j in range(kk + 1):
+            acc += math.exp(j * math.log(lam) - lam - math.lgamma(j + 1))
+        return min(acc, 1.0)
+
+    return cdf(k), 1.0 - cdf(k - 1)
 
 
 def main():

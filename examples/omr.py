@@ -380,7 +380,8 @@ def main():
     # clue_count clues under the recipient key: a protocol FP has ALL of
     # them decrypt to 0 (LUT1's accept value, ``detector.rs:457-476``).
     true_set = set(true_indices)
-    missing = [i for i in true_indices if i not in set(indices)]
+    decoded_set = set(indices)
+    missing = [i for i in true_indices if i not in decoded_set]
     extras = [i for i in indices if i not in true_set]
     subset_ok = not missing
     payload_ok = np.array_equal(solved, payloads[indices])
@@ -403,7 +404,11 @@ def main():
             "protocol false positive (all clues decrypt to 0)" if confirmed
             else "NOT a clue collision - framework bug",
         )
-    ok = subset_ok and payload_ok
+    # an extra index is only acceptable if the per-event oracle CONFIRMS
+    # it as a clue collision — an unconfirmed extra is a framework bug
+    # even when its payload happens to decode byte-exactly
+    fp_all_confirmed = all(e["protocol_fp_confirmed"] for e in fp_events)
+    ok = subset_ok and payload_ok and fp_all_confirmed
     if missing:
         log.error("missing true indices: %s (decoded %d, true %d)",
                   missing[:10], len(indices), len(true_indices))

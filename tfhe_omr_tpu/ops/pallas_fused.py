@@ -910,6 +910,14 @@ class FusedBlindRotateL2:
         if mac_rc and ntt.n % mac_rc:
             mac_rc = 0
         self.mac_rc = mac_rc
+        # single_dot only fits v5e's 128 MB VMEM because the v2 MAC's
+        # packed mono staging freed the legacy (2,12,N,tile) product-group
+        # scratch; refuse the oversubscribed combination up front instead
+        # of an opaque Mosaic OOM
+        assert not (single_dot and not mac_rc and ntt.n >= 2048), (
+            "single_dot + legacy MAC exceeds the 128 MB VMEM at the "
+            "reference ring; set TFHE_OMR_MAC_RC>0 or single_dot=False"
+        )
         self.field = field
         self.ntt = ntt
         self.d = d

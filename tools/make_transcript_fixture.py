@@ -151,6 +151,19 @@ def main():
     retr.decode_pertinent_indices(np.asarray(idx_ct))
     decoded = sorted(retr.pertinent_indices_set)
     assert decoded == [0], decoded
+    # cross-check: the RECORDED buckets must reproduce the recorded ct
+    # exactly (guards the twin-rng assumption against any future change
+    # in the encoder's draw order/shape/dtype)
+    expect_plain = np.zeros((1, p.n2), dtype=np.int64)
+    for s in range(rp.segment_per_cipher):
+        base = s * rp.slots_per_segment + int(buckets[0, s]) * \
+            rp.slots_per_bucket
+        expect_plain[0, base + rp.index_slots_per_bucket] = 1  # flag
+    recheck = detector._encode_chunk_jit(
+        full, jnp.asarray(expect_plain),
+        jnp.zeros((2, p.n2), dtype=jnp.int64), detector.tables,
+    )
+    np.testing.assert_array_equal(np.asarray(recheck), np.asarray(idx_ct))
 
     transcript = {
         "params": "OmrParameters.default(noise_free=True)",
