@@ -147,7 +147,9 @@ def main():
         p16 = np.asarray(payloads, dtype=np.int16)
         t0 = time.perf_counter()
         p16_d = jax.block_until_ready(_jnp.asarray(p16))
-        w_d = jax.block_until_ready(_jnp.asarray(w_all))
+        w_d = jax.block_until_ready(
+            _jnp.asarray(np.asarray(w_all, dtype=np.int16))
+        )
         pay_upload_s = time.perf_counter() - t0
         accs0 = _jnp.zeros((rp.cmb_cipher_count, 2, rp.polynomial_size),
                            dtype=_jnp.int64)

@@ -342,12 +342,15 @@ class Detector:
             """Payload-digest chunk for ALL combination cts at once.
 
             pert (B, 2, N2); payloads (B, plen) int64; weights
-            (kct, cmb, B) int64; accs (kct, 2, N2). The weighted slot
+            (kct, cmb, B) int16 mod p, widened here (< 257 — shipping
+            int64 quadrupled the upload); accs (kct, 2, N2). The
+            weighted slot
             layout (reference ``detector.rs:412-433``) is built on device;
             the payload bytes upload once per chunk instead of once per
             combination ciphertext.
             """
             kct, cmb, bsz2 = weights.shape
+            weights = weights.astype(jnp.int64)
             n2v = pert.shape[2]
             pert_t = pert.transpose(1, 2, 0)
             out = []
@@ -396,6 +399,7 @@ class Detector:
             nc = pert.shape[0] // chunk
             pr = pert.reshape((nc, chunk) + pert.shape[1:])
             pl = payloads.astype(jnp.int64).reshape(nc, chunk, -1)
+            weights = weights.astype(jnp.int64)  # ships int16 (< 257)
             wt = weights.reshape(weights.shape[0], weights.shape[1], nc, chunk)
             wt = wt.transpose(2, 0, 1, 3)  # (nc, kct, cmb, chunk)
 
@@ -734,7 +738,7 @@ class Detector:
             accs = self._encode_pay_scan_jit(
                 pertinency[:main],
                 jnp.asarray(np.asarray(payloads[:main], dtype=np.int16)),
-                jnp.asarray(w_all[:, :, :main]),
+                jnp.asarray(np.asarray(w_all[:, :, :main], np.int16)),
                 accs,
                 rp.payload_length,
                 chunk,
@@ -744,7 +748,7 @@ class Detector:
             accs = self._encode_pay_chunk_jit(
                 pertinency[main:],
                 jnp.asarray(payloads[main:].astype(np.int64)),
-                jnp.asarray(w_all[:, :, main:]),
+                jnp.asarray(np.asarray(w_all[:, :, main:], np.int16)),
                 accs,
                 rp.payload_length,
                 self.tables,

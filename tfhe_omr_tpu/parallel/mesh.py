@@ -348,7 +348,8 @@ class ShardedDetector:
         weights = sample_weights(rp, seed)
         w_all = weights.reshape(
             rp.cmb_cipher_count, rp.cmb_count_per_cipher, -1
-        )[:, :, :total]  # prefix-slice like the single-device encoder
+        )[:, :, :total].astype(np.int16)  # prefix-slice like the
+        # single-device encoder; int16 (< 257) quarters the upload
         # (a board smaller than the layout's D only uses the first
         # `total` columns of the shared weight stream)
         fn = self._pay_scan_fn(
